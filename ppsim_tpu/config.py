@@ -1,0 +1,109 @@
+"""Simulation configuration.
+
+The reference hard-codes the physics constants as compile-time macros shared
+by every backend (part1/common.h:4-11, part2/common.h:7-14, part3/common.h:4-11):
+
+    nsteps=1000  savefreq=10  density=0.0005  mass=0.01
+    cutoff=0.01  min_r=cutoff/100  dt=0.0005
+
+and scatters engine tunables across the engine sources (``BIN_SIZE``
+part1/serial.cpp:11 [0.01] vs part1/vecmp.cpp:10 [0.05]; ``MAX_PTS_PER_BIN``
+part3/gpu.cu:10 [16]; ``MAX_NUM_PTS_PER_BIN`` part2/mpi.cpp:15 [5]).
+
+Here both tiers live in one frozen dataclass so every engine sees the same
+values and they are hashable/static under ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+
+__all__ = ["SimConfig", "DEFAULTS"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Frozen, hashable configuration for one simulation run.
+
+    Physics fields carry the reference's exact defaults; engine-tunable fields
+    are the TPU-native analog of the reference's per-backend macros.
+    """
+
+    # ---- physics constants (reference: part1/common.h:4-11) ----
+    num_parts: int = 1000
+    nsteps: int = 1000
+    savefreq: int = 10
+    density: float = 0.0005
+    mass: float = 0.01
+    cutoff: float = 0.01
+    dt: float = 0.0005
+
+    # ---- numerics ----
+    # TPU float64 is emulated and slow; f32 is the TPU-native default. The
+    # oracle/checker path can run f64 (enable jax_enable_x64) for tight parity.
+    dtype: str = "float32"
+
+    # ---- engine tunables ----
+    # Bin side length as a multiple of cutoff. Any value >= 1.0 keeps the
+    # 3x3 neighbor-bin stencil correct. The reference used 1.0 (serial/gpu/mpi)
+    # and 5.0 (vecmp); on TPU a 2.0x bin halves the bin count (fewer, denser
+    # bins amortize the fixed per-bin padding of static shapes).
+    bin_scale: float = 2.0
+    # Max particles per bin (static capacity; analog of part3/gpu.cu:10's
+    # MAX_PTS_PER_BIN=16). Overflow is *detected* here (the reference silently
+    # corrupts on overflow, gpu.cu:109-111).
+    bin_capacity: int = 8
+    # Sharded engine: per-device particle-slot slack factor and per-step
+    # emigrant-buffer capacity factor (analog of part2/mpi.cpp:15's
+    # MAX_NUM_PTS_PER_BIN=5 fixed recv buffers).
+    shard_slack: float = 1.5
+    migrate_capacity: Optional[int] = None  # None -> derived from geometry
+
+    # ---- derived geometry ----
+    @property
+    def size(self) -> float:
+        """Box side length (reference: part1/main.cpp:113)."""
+        return math.sqrt(self.density * self.num_parts)
+
+    @property
+    def min_r(self) -> float:
+        """Minimum interaction distance (reference: part1/common.h:10)."""
+        return self.cutoff / 100.0
+
+    @property
+    def bin_size(self) -> float:
+        return self.bin_scale * self.cutoff
+
+    @property
+    def bins_per_side(self) -> int:
+        """Bins per side (reference: part1/serial.cpp:78 ``ceil(size/BIN_SIZE)``)."""
+        return max(1, math.ceil(self.size / self.bin_size))
+
+    @property
+    def num_bins(self) -> int:
+        return self.bins_per_side * self.bins_per_side
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def with_(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+    def validate(self) -> None:
+        if self.bin_scale < 1.0:
+            raise ValueError(
+                f"bin_scale={self.bin_scale} < 1: the 3x3 stencil would miss "
+                "in-range pairs (bin side must be >= cutoff)."
+            )
+        if self.num_parts <= 0:
+            raise ValueError("num_parts must be positive")
+        if self.bin_capacity < 1:
+            raise ValueError("bin_capacity must be >= 1")
+
+
+DEFAULTS = SimConfig()

@@ -1,0 +1,190 @@
+"""Engine protocol and the common scan-based run driver.
+
+The reference's driver owns the step loop and the save cadence
+(part1/main.cpp:124-139): per step it calls ``simulate_one_step`` and saves
+when ``step % savefreq == 0`` (i.e. the first frame is the state after one
+step). The TPU-native driver keeps exactly that cadence but compiles the
+whole run into nested ``lax.scan``s, so all ``nsteps`` stay on device —
+mirroring the CUDA build, where state is device-resident across all steps and
+only the save path copies back (part3/main.cu:120-137).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Type
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppsim_tpu.config import SimConfig
+from ppsim_tpu.state import ParticleState
+
+__all__ = ["Monitors", "Carry", "RunResult", "Engine", "register_engine", "get_engine"]
+
+
+class Monitors(NamedTuple):
+    """Safety counters accumulated across the run (all int32 scalars).
+
+    ``max_bin_count`` — running max bin occupancy; > ``bin_capacity`` means
+    particles were dropped from the force stencil (the reference's CUDA engine
+    silently corrupts in this case, gpu.cu:109-111 — here it is detected).
+    ``migrate_dropped`` — sharded engine: emigrants dropped because a
+    fixed-capacity transfer buffer or the per-device slot pool overflowed
+    (analog of part2/mpi.cpp:15's fixed recv buffers, which also cannot grow).
+    """
+
+    max_bin_count: jax.Array
+    migrate_dropped: jax.Array
+
+    @staticmethod
+    def zeros() -> "Monitors":
+        z = jnp.zeros((), jnp.int32)
+        return Monitors(z, z)
+
+    def merge(self, other: "Monitors") -> "Monitors":
+        return Monitors(
+            jnp.maximum(self.max_bin_count, other.max_bin_count),
+            self.migrate_dropped + other.migrate_dropped,
+        )
+
+
+class Carry(NamedTuple):
+    """Default single-device carry: bin-sorted state + particle identity.
+
+    ``pid[i]`` is the original index of the particle currently stored in row
+    ``i`` — engines that keep particles sorted by bin (for locality) use it to
+    restore id order for saves, like the MPI engine's id-keyed gather
+    (part2/mpi.cpp:220-227).
+    """
+
+    pos: jax.Array
+    vel: jax.Array
+    pid: jax.Array
+    monitors: Monitors
+
+
+class RunResult(NamedTuple):
+    state: ParticleState  # final state, id order
+    frames: Optional[np.ndarray]  # (F, N, 2) saved positions, id order
+    monitors: Monitors  # host-side values
+
+    def check(self, config: SimConfig) -> None:
+        """Raise if any safety monitor tripped."""
+        mx = int(self.monitors.max_bin_count)
+        if mx > config.bin_capacity:
+            raise RuntimeError(
+                f"bin overflow: max occupancy {mx} > capacity "
+                f"{config.bin_capacity}; rerun with larger bin_capacity"
+            )
+        dropped = int(self.monitors.migrate_dropped)
+        if dropped:
+            raise RuntimeError(
+                f"sharded migration dropped {dropped} particles; increase "
+                "migrate_capacity / shard_slack"
+            )
+
+
+class Engine:
+    """Base engine: subclasses implement the carry transforms; the base owns
+    the compiled run program (the L4 driver analog)."""
+
+    name: str = "base"
+
+    def __init__(self, config: SimConfig):
+        config.validate()
+        self.config = config
+        self._programs: Dict[Any, Any] = {}
+
+    # ---- backend interface -------------------------------------------------
+    def init_carry(self, state: ParticleState):
+        n = state.num_parts
+        return Carry(state.pos, state.vel, jnp.arange(n, dtype=jnp.int32), Monitors.zeros())
+
+    def step_carry(self, carry):
+        raise NotImplementedError
+
+    def frame_of(self, carry):
+        """(N, 2) positions in original id order."""
+        out = jnp.zeros_like(carry.pos)
+        return out.at[carry.pid].set(carry.pos)
+
+    def final_state(self, carry) -> ParticleState:
+        pos = jnp.zeros_like(carry.pos).at[carry.pid].set(carry.pos)
+        vel = jnp.zeros_like(carry.vel).at[carry.pid].set(carry.vel)
+        return ParticleState(pos, vel)
+
+    def monitors_of(self, carry) -> Monitors:
+        return carry.monitors
+
+    # ---- common driver -----------------------------------------------------
+    def _program(self, nsteps: int, savefreq: int):
+        key = (nsteps, savefreq)
+        if key not in self._programs:
+            self._programs[key] = jax.jit(
+                functools.partial(self._run_impl, nsteps=nsteps, savefreq=savefreq)
+            )
+        return self._programs[key]
+
+    def _run_impl(self, carry, *, nsteps: int, savefreq: int):
+        def plain(c, _):
+            return self.step_carry(c), None
+
+        if savefreq <= 0:
+            carry, _ = jax.lax.scan(plain, carry, None, length=nsteps)
+            return carry, None
+
+        # Reference cadence (part1/main.cpp:127-137): step, then save when
+        # step % savefreq == 0 -> frames after steps 1, 1+savefreq, ...
+        n_full = nsteps // savefreq
+        rem = nsteps - n_full * savefreq
+
+        def saving_block(c, length):
+            c = self.step_carry(c)
+            f = self.frame_of(c)
+            c, _ = jax.lax.scan(plain, c, None, length=length - 1)
+            return c, f
+
+        def outer(c, _):
+            return saving_block(c, savefreq)
+
+        frames = None
+        if n_full:
+            carry, frames = jax.lax.scan(outer, carry, None, length=n_full)
+        if rem:
+            carry, extra = saving_block(carry, rem)
+            extra = extra[None]
+            frames = extra if frames is None else jnp.concatenate([frames, extra])
+        return carry, frames
+
+    def run(self, state: ParticleState, nsteps: Optional[int] = None, savefreq: int = 0) -> RunResult:
+        """Run ``nsteps`` (default: config.nsteps); save frames every
+        ``savefreq`` steps (0 = never). Blocks until the device finishes."""
+        nsteps = self.config.nsteps if nsteps is None else nsteps
+        carry = self.init_carry(state)
+        carry, frames = self._program(nsteps, savefreq)(carry)
+        final = jax.block_until_ready(self.final_state(carry))
+        monitors = jax.tree.map(np.asarray, self.monitors_of(carry))
+        frames_np = np.asarray(frames) if frames is not None else None
+        return RunResult(final, frames_np, monitors)
+
+    def step_state(self, state: ParticleState) -> ParticleState:
+        """Single step, state-in/state-out (testing convenience)."""
+        return self.final_state(self.step_carry(self.init_carry(state)))
+
+
+_REGISTRY: Dict[str, Type[Engine]] = {}
+
+
+def register_engine(cls: Type[Engine]) -> Type[Engine]:
+    _REGISTRY[cls.name] = cls
+    return cls
+
+
+def get_engine(name: str, config: SimConfig) -> Engine:
+    try:
+        cls = _REGISTRY[name]
+    except KeyError:
+        raise ValueError(f"unknown engine {name!r}; have {sorted(_REGISTRY)}") from None
+    return cls(config)

@@ -1,0 +1,63 @@
+"""O(N^2) all-pairs oracle engine — the in-repo ground truth.
+
+Functional rebuild of the reference's brute-force engine
+(part1/reference.cpp:52-65): every particle accumulates the repulsive force
+from every other particle (self-pairs contribute exactly zero by the radial
+force law), then integrates. Quadratic, but the trust anchor every binned /
+sharded engine is tested against — the reference kept reference.cpp for the
+same purpose.
+
+For moderate N the pair matrix is materialized in (N, N) tiles via a scanned
+row-block loop so memory stays bounded at ``block x N``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ppsim_tpu.engines.base import Carry, Engine, register_engine
+from ppsim_tpu.physics import accel_from_deltas, verlet_step
+
+__all__ = ["OracleEngine", "all_pairs_accel"]
+
+
+def all_pairs_accel(pos, cutoff, min_r, mass, block: int = 2048):
+    """(N, 2) accelerations from the dense all-pairs interaction.
+
+    Row-blocked so the live pair tensor is (block, N) rather than (N, N).
+    """
+    n = pos.shape[0]
+    nblocks = -(-n // block)
+    padded = nblocks * block
+    pos_pad = jnp.pad(pos, ((0, padded - n), (0, 0)))
+    rows = pos_pad.reshape(nblocks, block, 2)
+
+    def one_block(prow):
+        dx = pos[None, :, 0] - prow[:, 0:1]
+        dy = pos[None, :, 1] - prow[:, 1:2]
+        ax, ay = accel_from_deltas(dx, dy, cutoff, min_r, mass)
+        return jnp.stack([ax.sum(-1), ay.sum(-1)], axis=-1)
+
+    accel = jax.lax.map(one_block, rows)
+    return accel.reshape(padded, 2)[:n]
+
+
+@register_engine
+class OracleEngine(Engine):
+    name = "oracle"
+
+    def step_carry(self, carry: Carry) -> Carry:
+        cfg = self.config
+        accel = all_pairs_accel(carry.pos, cfg.cutoff, cfg.min_r, cfg.mass)
+        pos, vel = verlet_step(carry.pos, carry.vel, accel, cfg.dt, cfg.size)
+        return Carry(pos, vel, carry.pid, carry.monitors)
+
+    # Oracle never permutes particles; skip the id scatter.
+    def frame_of(self, carry):
+        return carry.pos
+
+    def final_state(self, carry):
+        from ppsim_tpu.state import ParticleState
+
+        return ParticleState(carry.pos, carry.vel)

@@ -1,0 +1,199 @@
+"""Particle initialization.
+
+The reference initializer (``init_particles``, part1/main.cpp:31-59) places
+particles on a shuffled ceil(sqrt(N)) x sy lattice and draws velocities
+uniformly from [-1, 1), using ``std::mt19937`` with a partial Fisher-Yates
+draw for the lattice-cell assignment. Positions use
+``uniform_int_distribution<int>``; velocities use
+``uniform_real_distribution<float>`` (float, not double —
+part1/main.cpp:55-57). The MPI variant additionally stamps 1-based ids
+(part2/main.cpp:61-63); here ids are implicit array indices.
+
+Two initializers are provided:
+
+- :func:`init_particles_reference` — bit-faithful numpy reimplementation of
+  the libstdc++ ``mt19937`` + distribution semantics, so trajectories can be
+  cross-checked against native binaries built from the same seed. Pure
+  Python/numpy draw loop; intended for n up to ~1M (tests, parity checks).
+- :func:`init_particles_fast` — ``jax.random``-based initializer with the
+  same lattice structure and velocity distribution (statistically equivalent,
+  not bit-identical); scales to tens of millions of particles on device.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppsim_tpu.config import SimConfig
+from ppsim_tpu.state import ParticleState, make_state
+
+__all__ = [
+    "MT19937",
+    "init_particles_reference",
+    "init_particles_fast",
+    "init_particles",
+]
+
+
+class MT19937:
+    """Minimal MT19937 engine matching ``std::mt19937`` (single-value seed).
+
+    Seeding follows the C++11 mersenne_twister_engine seed algorithm:
+    x[0]=seed; x[i] = 1812433253*(x[i-1] ^ (x[i-1]>>30)) + i (mod 2^32).
+    Blocks of 624 outputs are generated with vectorized numpy tempering.
+    """
+
+    N, M = 624, 397
+    MATRIX_A = np.uint32(0x9908B0DF)
+    UPPER = np.uint32(0x80000000)
+    LOWER = np.uint32(0x7FFFFFFF)
+
+    def __init__(self, seed: int):
+        x = np.empty(self.N, dtype=np.uint64)
+        x[0] = seed & 0xFFFFFFFF
+        for i in range(1, self.N):
+            x[i] = (1812433253 * (x[i - 1] ^ (x[i - 1] >> np.uint64(30))) + i) & 0xFFFFFFFF
+        self._state = x.astype(np.uint32)
+        self._buf = np.empty(0, dtype=np.uint32)
+        self._pos = 0
+
+    def _twist(self) -> np.ndarray:
+        x = self._state
+        xU = x & self.UPPER
+        xL = np.roll(x, -1) & self.LOWER
+        y = xU | xL
+        mag = np.where((y & np.uint32(1)).astype(bool), self.MATRIX_A, np.uint32(0))
+        self._state = np.roll(x, -self.M) ^ (y >> np.uint32(1)) ^ mag
+        # temper
+        z = self._state.copy()
+        z ^= z >> np.uint32(11)
+        z ^= (z << np.uint32(7)) & np.uint32(0x9D2C5680)
+        z ^= (z << np.uint32(15)) & np.uint32(0xEFC60000)
+        z ^= z >> np.uint32(18)
+        return z
+
+    def fill(self, count: int) -> None:
+        """Ensure at least ``count`` un-consumed outputs are buffered."""
+        chunks = [self._buf[self._pos :]]
+        have = chunks[0].shape[0]
+        while have < count:
+            c = self._twist()
+            chunks.append(c)
+            have += c.shape[0]
+        self._buf = np.concatenate(chunks)
+        self._pos = 0
+
+    def next_u32(self) -> int:
+        if self._pos >= self._buf.shape[0]:
+            self.fill(self.N)
+        v = int(self._buf[self._pos])
+        self._pos += 1
+        return v
+
+
+def _uniform_int(gen: MT19937, upper: int) -> int:
+    """libstdc++ ``uniform_int_distribution<int>(0, upper)`` downscaling path.
+
+    (bits/uniform_int_dist.h: scaling = floor((2^32-1)/(upper+1)); draw until
+    below ``(upper+1)*scaling``; divide.)
+    """
+    urngrange = 0xFFFFFFFF
+    uerange = upper + 1
+    scaling = urngrange // uerange
+    past = uerange * scaling
+    while True:
+        r = gen.next_u32()
+        if r < past:
+            return r // scaling
+
+
+def _uniform_float_pm1(gen: MT19937) -> np.float32:
+    """libstdc++ ``uniform_real_distribution<float>(-1, 1)``.
+
+    generate_canonical<float, 24> with mt19937 consumes one draw:
+    ``c = float(u) / float(2^32)`` in float arithmetic, clamped below 1;
+    result = ``c * 2.0f + (-1.0f)``.
+    """
+    u = gen.next_u32()
+    c = np.float32(np.float32(u) / np.float32(4294967296.0))
+    if c >= np.float32(1.0):
+        c = np.nextafter(np.float32(1.0), np.float32(0.0))
+    return np.float32(c * np.float32(2.0) + np.float32(-1.0))
+
+
+def init_particles_reference(num_parts: int, size: float, seed: int):
+    """Bit-faithful reimplementation of the reference ``init_particles``.
+
+    (part1/main.cpp:31-59.) Returns float64 numpy arrays ``pos, vel`` of
+    shape (N, 2) matching the C++ trajectory's step-0 state bit-for-bit.
+    ``seed`` must be nonzero (the reference falls back to random_device for
+    seed 0, which is inherently irreproducible).
+    """
+    if seed == 0:
+        raise ValueError("seed 0 means 'nondeterministic' in the reference; pick a nonzero seed")
+    gen = MT19937(seed)
+    gen.fill(max(num_parts * 4, 1024))
+
+    sx = int(math.ceil(math.sqrt(float(num_parts))))
+    sy = (num_parts + sx - 1) // sx
+
+    shuffle = np.arange(num_parts, dtype=np.int64)
+    pos = np.empty((num_parts, 2), dtype=np.float64)
+    vel = np.empty((num_parts, 2), dtype=np.float64)
+
+    for i in range(num_parts):
+        j = _uniform_int(gen, num_parts - i - 1)
+        k = int(shuffle[j])
+        shuffle[j] = shuffle[num_parts - i - 1]
+
+        pos[i, 0] = size * (1.0 + (k % sx)) / (1 + sx)
+        pos[i, 1] = size * (1.0 + (k // sx)) / (1 + sy)
+
+        vel[i, 0] = float(_uniform_float_pm1(gen))
+        vel[i, 1] = float(_uniform_float_pm1(gen))
+
+    return pos, vel
+
+
+def init_particles_fast(num_parts: int, size: float, seed: int, dtype=jnp.float32):
+    """Device-side initializer, statistically equivalent to the reference.
+
+    Same lattice geometry and shuffled (spatially unsorted) cell assignment as
+    part1/main.cpp:31-59, same U[-1,1) velocity law, but driven by
+    ``jax.random`` so it runs on-device at any scale.
+    """
+    key = jax.random.PRNGKey(seed)
+    k_perm, k_vel = jax.random.split(key)
+
+    sx = int(math.ceil(math.sqrt(float(num_parts))))
+    sy = (num_parts + sx - 1) // sx
+
+    k = jax.random.permutation(k_perm, num_parts)
+    col = (k % sx).astype(dtype)
+    row = (k // sx).astype(dtype)
+    x = jnp.asarray(size, dtype) * (1.0 + col) / (1 + sx)
+    y = jnp.asarray(size, dtype) * (1.0 + row) / (1 + sy)
+    pos = jnp.stack([x, y], axis=-1)
+    vel = jax.random.uniform(k_vel, (num_parts, 2), dtype=dtype, minval=-1.0, maxval=1.0)
+    return pos, vel
+
+
+def init_particles(config: SimConfig, seed: int, method: str = "auto") -> ParticleState:
+    """Build the initial :class:`ParticleState` for a config.
+
+    ``method``: ``"reference"`` (bit-faithful, host), ``"fast"`` (device), or
+    ``"auto"`` (reference for small n where the host loop is cheap, else fast).
+    """
+    if method == "auto":
+        method = "reference" if (config.num_parts <= 100_000 and seed != 0) else "fast"
+    if method == "reference":
+        pos, vel = init_particles_reference(config.num_parts, config.size, seed)
+    elif method == "fast":
+        pos, vel = init_particles_fast(config.num_parts, config.size, seed)
+    else:
+        raise ValueError(f"unknown init method {method!r}")
+    return make_state(pos, vel, dtype=config.jnp_dtype)
