@@ -63,6 +63,21 @@ class SimConfig:
     shard_slack: float = 1.5
     migrate_capacity: Optional[int] = None  # None -> derived from geometry
 
+    # ---- dense slab-grid engine (the flagship perf engine) ----
+    # Bin side (in cutoffs) for the slab-layout grid engine. Larger bins mean
+    # fewer, fuller bins: less capacity-padding waste per pair-candidate.
+    grid_bin_scale: float = 5.0
+    # Slots per bin (slab count). With grid_bin_scale=5, mean occupancy is
+    # grid_bin_scale^2 * cutoff^2 / density = 5.0; repulsion keeps occupancy
+    # sub-Poisson, so 10 slots suffice (overflow is monitored).
+    grid_capacity: int = 10
+    # Rebin cadence in steps. Stale binning stays correct while accumulated
+    # drift satisfies rebin_every * max|v| * dt <= (bin_side - cutoff) / 2;
+    # monitored at runtime via max_speed.
+    rebin_every: int = 8
+    # Max particles leaving one bin in one direction per rebin (monitored).
+    evac_capacity: int = 3
+
     # ---- derived geometry ----
     @property
     def size(self) -> float:
@@ -88,6 +103,19 @@ class SimConfig:
         return self.bins_per_side * self.bins_per_side
 
     @property
+    def grid_bin_size(self) -> float:
+        return self.grid_bin_scale * self.cutoff
+
+    @property
+    def grid_bins_per_side(self) -> int:
+        return max(1, math.ceil(self.size / self.grid_bin_size))
+
+    @property
+    def grid_slack(self) -> float:
+        """Max tolerated position drift between rebins (stale-bin safety)."""
+        return (self.grid_bin_size - self.cutoff) / 2.0
+
+    @property
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
 
@@ -104,6 +132,13 @@ class SimConfig:
             raise ValueError("num_parts must be positive")
         if self.bin_capacity < 1:
             raise ValueError("bin_capacity must be >= 1")
+        if self.grid_bin_scale <= 1.0:
+            raise ValueError(
+                f"grid_bin_scale={self.grid_bin_scale} must exceed 1: the grid "
+                "engine needs positive stale-bin slack (bin side > cutoff)."
+            )
+        if self.rebin_every < 1 or self.grid_capacity < 1 or self.evac_capacity < 1:
+            raise ValueError("rebin_every / grid_capacity / evac_capacity must be >= 1")
 
 
 DEFAULTS = SimConfig()

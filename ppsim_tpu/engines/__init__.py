@@ -6,11 +6,13 @@ against any backend implementing ``init_simulation`` / ``simulate_one_step``
 Here the seam is :class:`ppsim_tpu.engines.base.Engine`; backends:
 
 - ``oracle``  — O(N^2) all-pairs ground truth (reference: part1/reference.cpp)
-- ``binned``  — single-chip sort-rebinned grid engine, whole run in one
-  jitted ``lax.scan`` (reference: part1/serial.cpp + part1/vecmp.cpp +
-  part3/gpu.cu, unified)
-- ``pallas``  — binned engine with the Pallas/Mosaic force kernel on the hot
-  path (reference: part3/gpu.cu CUDA kernels)
+- ``binned``  — single-chip sort-rebinned gather engine, whole run in one
+  jitted ``lax.scan`` (reference: part1/serial.cpp + part1/vecmp.cpp); keeps
+  an explicit particle list, so it is the bitwise-parity partner of the oracle
+- ``grid``    — dense slab-grid engine (state lives on the bin grid,
+  bin-local coordinates, lazy rebinning); XLA ops everywhere
+- ``pallas``  — grid engine with the Mosaic force kernel on the hot path
+  (reference: part3/gpu.cu CUDA kernels); the flagship perf engine
 - ``sharded`` — multi-chip shard_map strip decomposition with ppermute halo
   exchange and particle migration (reference: part2/mpi.cpp)
 """
@@ -21,6 +23,6 @@ from ppsim_tpu.engines.base import Engine, RunResult, get_engine, register_engin
 from ppsim_tpu.engines import oracle as _oracle  # noqa: F401
 from ppsim_tpu.engines import binned as _binned  # noqa: F401
 from ppsim_tpu.engines import sharded as _sharded  # noqa: F401
-from ppsim_tpu.engines import pallas_engine as _pallas  # noqa: F401
+from ppsim_tpu.engines import grid as _grid  # noqa: F401
 
 __all__ = ["Engine", "RunResult", "get_engine", "register_engine"]

@@ -33,20 +33,25 @@ class Monitors(NamedTuple):
     ``migrate_dropped`` — sharded engine: emigrants dropped because a
     fixed-capacity transfer buffer or the per-device slot pool overflowed
     (analog of part2/mpi.cpp:15's fixed recv buffers, which also cannot grow).
+    ``max_speed`` — float32 running max particle speed; the grid engine's
+    stale-binning cadence is only valid while
+    ``rebin_every * max_speed * dt <= grid_slack`` (checked post-run).
     """
 
     max_bin_count: jax.Array
     migrate_dropped: jax.Array
+    max_speed: jax.Array
 
     @staticmethod
     def zeros() -> "Monitors":
         z = jnp.zeros((), jnp.int32)
-        return Monitors(z, z)
+        return Monitors(z, z, jnp.zeros((), jnp.float32))
 
     def merge(self, other: "Monitors") -> "Monitors":
         return Monitors(
             jnp.maximum(self.max_bin_count, other.max_bin_count),
             self.migrate_dropped + other.migrate_dropped,
+            jnp.maximum(self.max_speed, other.max_speed),
         )
 
 
@@ -70,20 +75,31 @@ class RunResult(NamedTuple):
     frames: Optional[np.ndarray]  # (F, N, 2) saved positions, id order
     monitors: Monitors  # host-side values
 
-    def check(self, config: SimConfig) -> None:
-        """Raise if any safety monitor tripped."""
+    def check(self, config: SimConfig, capacity: Optional[int] = None) -> None:
+        """Raise if any safety monitor tripped. ``capacity`` defaults to the
+        sort-binned engines' bin_capacity; grid engines pass grid_capacity."""
+        cap = config.bin_capacity if capacity is None else capacity
         mx = int(self.monitors.max_bin_count)
-        if mx > config.bin_capacity:
+        if mx > cap:
             raise RuntimeError(
-                f"bin overflow: max occupancy {mx} > capacity "
-                f"{config.bin_capacity}; rerun with larger bin_capacity"
+                f"bin overflow: max occupancy {mx} > capacity {cap}; "
+                "rerun with a larger bin capacity"
             )
         dropped = int(self.monitors.migrate_dropped)
         if dropped:
             raise RuntimeError(
-                f"sharded migration dropped {dropped} particles; increase "
-                "migrate_capacity / shard_slack"
+                f"{dropped} particles dropped by fixed-capacity transfer "
+                "buffers; increase migrate_capacity / shard_slack / evac_capacity"
             )
+        max_speed = float(self.monitors.max_speed)
+        if max_speed > 0.0:
+            drift = config.rebin_every * max_speed * config.dt
+            if drift > config.grid_slack:
+                raise RuntimeError(
+                    f"stale-bin slack violated: rebin_every*max|v|*dt = {drift:.4g} "
+                    f"> slack {config.grid_slack:.4g}; lower rebin_every or raise "
+                    "grid_bin_scale"
+                )
 
 
 class Engine:
@@ -96,6 +112,14 @@ class Engine:
         config.validate()
         self.config = config
         self._programs: Dict[Any, Any] = {}
+
+    @property
+    def capacity(self) -> int:
+        """Bin capacity this engine's max_bin_count monitor is bounded by."""
+        return self.config.bin_capacity
+
+    def check(self, result: "RunResult") -> None:
+        result.check(self.config, capacity=self.capacity)
 
     # ---- backend interface -------------------------------------------------
     def init_carry(self, state: ParticleState):

@@ -64,7 +64,8 @@ class BinnedEngine(Engine):
         accel = self.accel_of(pos, row, col, grid)
         pos, vel = verlet_step(pos, vel, accel, cfg.dt, cfg.size)
 
+        z = jnp.zeros((), jnp.int32)
         monitors = carry.monitors.merge(
-            Monitors(grid.max_count, jnp.zeros((), jnp.int32))
+            Monitors(grid.max_count, z, jnp.zeros((), jnp.float32))
         )
         return Carry(pos, vel, pid, monitors)

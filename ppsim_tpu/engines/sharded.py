@@ -271,7 +271,9 @@ class ShardedEngine(Engine):
             carry.pos, carry.vel, carry.pid,
             carry.monitors.max_bin_count, carry.monitors.migrate_dropped,
         )
-        return ShardCarry(pos, vel, pid, Monitors(max_bin, dropped))
+        return ShardCarry(
+            pos, vel, pid, Monitors(max_bin, dropped, carry.monitors.max_speed)
+        )
 
     def _id_scatter(self, pid, values, n):
         # pid == -1 must be dropped, but JAX .at[] wraps negative indices

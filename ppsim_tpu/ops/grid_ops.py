@@ -1,0 +1,384 @@
+"""Dense slab-grid representation: the flagship TPU-native state layout.
+
+The gather-based engine (ops/binning.py + ops/forces.py) mirrors the
+reference's structure directly, but its per-particle random gathers are the
+slowest op class on TPU. The slab grid removes indexed access entirely — the
+TPU-native answer to the CUDA engine's bin arrays (part3/gpu.cu:24-27):
+
+- **State lives on the bin grid.** Fields ``xl, yl, vx, vy`` and ``pid`` have
+  shape ``(capacity, R, C)``: slot-slab ``j`` is a dense (R, C) plane, so
+  every phase is full-tile VPU work. ``pid < 0`` marks an empty slot (its
+  position parks at the ``BIG`` sentinel, failing every cutoff test).
+- **Positions are bin-local** (relative to the bin's origin). Neighbor
+  distances are tiny exact differences plus a constant bin offset — no
+  catastrophic f32 cancellation even in boxes hundreds of cutoffs wide.
+- **Forces** are the 3x3 stencil evaluated as 9 shifted dense planes
+  (reference: serial.cpp:102-117 / gpu.cu:115-142), all pairs slab-x-slab.
+- **Rebinning is lazy**: a particle may drift out of its bin for up to
+  ``rebin_every`` steps; the 3x3 stencil stays correct while total drift is
+  below ``(bin_side - cutoff)/2`` (monitored). The rebin itself is a
+  9-direction dense shuffle — per-direction evacuation compaction + free-slot
+  insertion, all rank-match selects, no atomics, no sort (the lock-free
+  answer to openmp.cpp:170-177 and gpu.cu:109).
+
+This module holds the geometry plus XLA reference implementations of the
+three phases; :mod:`ppsim_tpu.ops.pallas_grid` provides the Mosaic kernel for
+the force phase (the hot 75%, per the reference's nvprof split, part3
+write-up §6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppsim_tpu.ops.binning import BIG
+
+__all__ = [
+    "SlabGeometry",
+    "SlabState",
+    "RebinMonitors",
+    "slab_from_particles",
+    "slab_to_particles",
+    "global_positions",
+    "grid_force_xla",
+    "grid_move",
+    "grid_rebin",
+]
+
+# Direction codes: d = (dr+1)*3 + (dc+1); 4 = stay.
+DIRS = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+
+
+@dataclasses.dataclass(frozen=True)
+class SlabGeometry:
+    rows: int  # physical bin rows (row indexes x, the strip axis)
+    cols: int
+    rows_pad: int  # padded for row-blocking
+    cols_pad: int  # padded for lane alignment
+    capacity: int
+    bin_size: float
+
+    @classmethod
+    def for_config(cls, config, row_block: int = 8, lane: int = 128) -> "SlabGeometry":
+        r = config.grid_bins_per_side
+        c = config.grid_bins_per_side
+        return cls(
+            rows=r,
+            cols=c,
+            rows_pad=-(-r // row_block) * row_block,
+            cols_pad=-(-c // lane) * lane,
+            capacity=config.grid_capacity,
+            bin_size=config.grid_bin_size,
+        )
+
+    @property
+    def shape(self):
+        return (self.capacity, self.rows_pad, self.cols_pad)
+
+
+class SlabState(NamedTuple):
+    xl: jax.Array  # (cap, R, C) bin-local x, BIG where empty
+    yl: jax.Array
+    vx: jax.Array
+    vy: jax.Array
+    pid: jax.Array  # int32, -1 where empty
+
+
+class RebinMonitors(NamedTuple):
+    max_occupancy: jax.Array  # int32
+    dropped: jax.Array  # int32: evac overflow + insertion overflow + far moves
+
+
+# ----------------------------------------------------------------- packing
+def slab_from_particles(pos, vel, geom: SlabGeometry):
+    """Device-side packing of a particle list into the slab grid (init path).
+
+    The per-run analog of ``init_simulation``'s initial binning
+    (part1/serial.cpp:76-88): sort by bin, rank within bin, scatter into slab
+    planes. One-time cost. Returns (SlabState, overflow_count) — overflow
+    means the initial occupancy exceeded ``capacity`` (caller must raise).
+    """
+    from ppsim_tpu.ops.binning import sort_by_bin
+
+    pos = jnp.asarray(pos, jnp.float32)
+    vel = jnp.asarray(vel, jnp.float32)
+    n = pos.shape[0]
+    bs = jnp.float32(geom.bin_size)
+    inv = jnp.float32(1.0 / geom.bin_size)
+    r = jnp.clip((pos[:, 0] * inv).astype(jnp.int32), 0, geom.rows - 1)
+    c = jnp.clip((pos[:, 1] * inv).astype(jnp.int32), 0, geom.cols - 1)
+    bin_id = r * geom.cols_pad + c
+
+    order, sorted_id, rank = sort_by_bin(bin_id)
+    plane = geom.rows_pad * geom.cols_pad
+    nslots = geom.capacity * plane
+    flat = jnp.where(rank < geom.capacity, rank * plane + sorted_id, nslots)
+
+    rr = (sorted_id // geom.cols_pad).astype(jnp.float32)
+    cc = (sorted_id % geom.cols_pad).astype(jnp.float32)
+    xl_v = pos[order, 0] - rr * bs
+    yl_v = pos[order, 1] - cc * bs
+
+    def scatter(vals, fill, dtype):
+        out = jnp.full((nslots,), fill, dtype)
+        return out.at[flat].set(vals.astype(dtype), mode="drop").reshape(geom.shape)
+
+    state = SlabState(
+        scatter(xl_v, BIG, jnp.float32),
+        scatter(yl_v, BIG, jnp.float32),
+        scatter(vel[order, 0], 0.0, jnp.float32),
+        scatter(vel[order, 1], 0.0, jnp.float32),
+        scatter(order.astype(jnp.int32), -1, jnp.int32),
+    )
+    overflow = jnp.maximum(rank.max() + 1 - geom.capacity, 0).astype(jnp.int32)
+    return state, overflow
+
+
+def global_positions(state: SlabState, geom: SlabGeometry):
+    """(cap, R, C, 2) global coordinates (BIG slots stay huge)."""
+    bs = jnp.float32(geom.bin_size)
+    row_off = jax.lax.broadcasted_iota(jnp.int32, state.xl.shape, 1).astype(jnp.float32) * bs
+    col_off = jax.lax.broadcasted_iota(jnp.int32, state.xl.shape, 2).astype(jnp.float32) * bs
+    alive = state.pid >= 0
+    gx = jnp.where(alive, state.xl + row_off, BIG)
+    gy = jnp.where(alive, state.yl + col_off, BIG)
+    return gx, gy
+
+
+def slab_to_particles(state: SlabState, geom: SlabGeometry, num_parts: int):
+    """Scatter slab state back to id-ordered (N, 2) pos/vel arrays."""
+    gx, gy = global_positions(state, geom)
+    flat_pid = state.pid.reshape(-1)
+    idx = jnp.where(flat_pid >= 0, flat_pid, num_parts)
+    pos = jnp.zeros((num_parts, 2), jnp.float32)
+    pos = pos.at[idx, 0].set(gx.reshape(-1), mode="drop")
+    pos = pos.at[idx, 1].set(gy.reshape(-1), mode="drop")
+    vel = jnp.zeros((num_parts, 2), jnp.float32)
+    vel = vel.at[idx, 0].set(state.vx.reshape(-1), mode="drop")
+    vel = vel.at[idx, 1].set(state.vy.reshape(-1), mode="drop")
+    return pos, vel
+
+
+# ------------------------------------------------------------------- force
+def _shifted(f, dr: int, dc: int, fill=BIG):
+    """Plane-shifted view: element (r, c) sees f at (r+dr, c+dc); OOB -> fill."""
+    rolled = jnp.roll(f, (-dr, -dc), axis=(-2, -1))
+    R, C = f.shape[-2], f.shape[-1]
+    if dr:
+        row = jax.lax.broadcasted_iota(jnp.int32, f.shape, f.ndim - 2)
+        rolled = jnp.where(row == (R - 1 if dr == 1 else 0), fill, rolled)
+    if dc:
+        col = jax.lax.broadcasted_iota(jnp.int32, f.shape, f.ndim - 1)
+        rolled = jnp.where(col == (C - 1 if dc == 1 else 0), fill, rolled)
+    return rolled
+
+
+def pair_coef(dx, dy, cutoff: float, min_r: float, mass: float):
+    """Force coefficient for pair offsets; 0 outside cutoff (shared by the
+    XLA fallback and mirrored inside the Mosaic kernel)."""
+    r2 = dx * dx + dy * dy
+    m = r2 <= cutoff * cutoff
+    r2c = jnp.maximum(r2, min_r * min_r)
+    rinv = jax.lax.rsqrt(r2c)
+    inv2 = rinv * rinv
+    return jnp.where(m, (inv2 - cutoff * rinv * inv2) * (1.0 / mass), 0.0)
+
+
+def grid_force_xla(xl, yl, geom: SlabGeometry, cutoff, min_r, mass):
+    """XLA reference implementation of the slab stencil force (CPU/tests)."""
+    cap = geom.capacity
+    bs = geom.bin_size
+    ax = jnp.zeros_like(xl)
+    ay = jnp.zeros_like(yl)
+    for dr, dc in DIRS:
+        xn_all = _shifted(xl, dr, dc)
+        yn_all = _shifted(yl, dr, dc)
+        offx = jnp.float32(dr * bs)
+        offy = jnp.float32(dc * bs)
+
+        def body(j, acc):
+            ax, ay = acc
+            xn = jax.lax.dynamic_index_in_dim(xn_all, j, 0, keepdims=True)
+            yn = jax.lax.dynamic_index_in_dim(yn_all, j, 0, keepdims=True)
+            dx = (xn + offx) - xl
+            dy = (yn + offy) - yl
+            coef = pair_coef(dx, dy, cutoff, min_r, mass)
+            return ax + coef * dx, ay + coef * dy
+
+        ax, ay = jax.lax.fori_loop(0, cap, body, (ax, ay))
+    return ax, ay
+
+
+# -------------------------------------------------------------------- move
+def grid_move(state: SlabState, accel, geom: SlabGeometry, dt, size):
+    """Verlet + wall reflection on the slab grid (reference: serial.cpp:44-61).
+
+    Empty slots are inert. Reflection reconstructs the global coordinate only
+    for out-of-box slots, so in-box particles keep exact bin-local positions.
+    Returns (new_state, max_speed_scalar).
+    """
+    ax, ay = accel
+    alive = state.pid >= 0
+    bs = jnp.float32(geom.bin_size)
+    dtf = jnp.float32(dt)
+    L = jnp.float32(size)
+
+    vx = jnp.where(alive, state.vx + ax * dtf, 0.0)
+    vy = jnp.where(alive, state.vy + ay * dtf, 0.0)
+    xl = state.xl + vx * dtf
+    yl = state.yl + vy * dtf
+
+    row_off = jax.lax.broadcasted_iota(jnp.int32, xl.shape, 1).astype(jnp.float32) * bs
+    col_off = jax.lax.broadcasted_iota(jnp.int32, xl.shape, 2).astype(jnp.float32) * bs
+
+    def reflect(local, off, v):
+        g = local + off
+        out = (g < 0.0) | (g > L)
+        m = jnp.mod(g, 2.0 * L)
+        folded = L - jnp.abs(m - L)
+        local = jnp.where(out, folded - off, local)
+        v = jnp.where(out & (m > L), -v, v)
+        return local, v
+
+    xl, vx = reflect(xl, row_off, vx)
+    yl, vy = reflect(yl, col_off, vy)
+
+    xl = jnp.where(alive, xl, BIG)
+    yl = jnp.where(alive, yl, BIG)
+    speed2 = jnp.where(alive, vx * vx + vy * vy, 0.0)
+    max_speed = jnp.sqrt(speed2.max())
+    return SlabState(xl, yl, vx, vy, state.pid), max_speed
+
+
+# ------------------------------------------------------------------- rebin
+def grid_rebin(state: SlabState, geom: SlabGeometry, evac_cap: int):
+    """9-direction dense shuffle: move drifted particles to their new bins.
+
+    Lock-free analog of the reference's bin migration (serial.cpp:63-70 set
+    moves, gpu.cu:92-112 atomic rebinning): per source bin, leavers toward
+    each of the 8 directions are rank-compacted into ``evac_cap`` slots; each
+    destination then inserts the 8 shifted evacuation groups into its free
+    slots by rank matching. Stayers never move (slot-sticky). All counters
+    that could overflow are summed into ``RebinMonitors.dropped`` — overflow
+    means *detected* failure, never silent corruption.
+    """
+    cap = geom.capacity
+    bs = jnp.float32(geom.bin_size)
+    inv_bs = jnp.float32(1.0 / geom.bin_size)
+    alive = state.pid >= 0
+
+    dirx_raw = jnp.floor(state.xl * inv_bs).astype(jnp.int32)
+    diry_raw = jnp.floor(state.yl * inv_bs).astype(jnp.int32)
+    dirx_raw = jnp.where(alive, dirx_raw, 0)
+    diry_raw = jnp.where(alive, diry_raw, 0)
+    far = alive & ((jnp.abs(dirx_raw) > 1) | (jnp.abs(diry_raw) > 1))
+    dirx = jnp.clip(dirx_raw, -1, 1)
+    diry = jnp.clip(diry_raw, -1, 1)
+    # Never step off the physical grid (x == size exactly would otherwise
+    # evacuate into a nonexistent row and be lost): clamp at the boundary
+    # rows/cols — the particle stays binned at the edge, within slack.
+    row = jax.lax.broadcasted_iota(jnp.int32, dirx.shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, diry.shape, 2)
+    dirx = jnp.clip(dirx, -jnp.minimum(row, 1), jnp.minimum(geom.rows - 1 - row, 1))
+    diry = jnp.clip(diry, -jnp.minimum(col, 1), jnp.minimum(geom.cols - 1 - col, 1))
+    dcode = (dirx + 1) * 3 + (diry + 1)
+
+    xl_re = state.xl - dirx.astype(jnp.float32) * bs
+    yl_re = state.yl - diry.astype(jnp.float32) * bs
+    fields = (xl_re, yl_re, state.vx, state.vy)
+
+    # --- evacuate: per direction, rank-compact leavers into evac slabs -----
+    evac = {}  # d -> (list of (xl, yl, vx, vy, pid) per evac slot)
+    evac_overflow = jnp.zeros((), jnp.int32)
+    for d, (dr, dc) in enumerate(DIRS):
+        if (dr, dc) == (0, 0):
+            continue
+        mask = alive & (dcode == d)
+        rank = jnp.zeros(mask.shape[1:], jnp.int32)
+        slots = []
+        for e in range(evac_cap):
+            slots.append(
+                [jnp.full(mask.shape[1:], BIG, jnp.float32) for _ in range(2)]
+                + [jnp.zeros(mask.shape[1:], jnp.float32) for _ in range(2)]
+                + [jnp.full(mask.shape[1:], -1, jnp.int32)]
+            )
+        for j in range(cap):
+            mj = mask[j]
+            for e in range(evac_cap):
+                sel = mj & (rank == e)
+                for fi, f in enumerate(fields):
+                    slots[e][fi] = jnp.where(sel, f[j], slots[e][fi])
+                slots[e][4] = jnp.where(sel, state.pid[j], slots[e][4])
+            rank = rank + mj.astype(jnp.int32)
+        evac[d] = slots
+        evac_overflow = evac_overflow + jnp.maximum(rank - evac_cap, 0).sum()
+
+    # --- clear leavers from their slots -----------------------------------
+    leave = alive & (dcode != 4)
+    xl_new = jnp.where(leave, BIG, state.xl)
+    yl_new = jnp.where(leave, BIG, state.yl)
+    vx_new = jnp.where(leave, 0.0, state.vx)
+    vy_new = jnp.where(leave, 0.0, state.vy)
+    pid_new = jnp.where(leave, -1, state.pid)
+
+    # --- insert: entrants = neighbors' evac groups shifted into my frame --
+    is_free = pid_new < 0
+    free_rank = jnp.cumsum(is_free.astype(jnp.int32), axis=0) - is_free.astype(jnp.int32)
+    n_free = is_free.astype(jnp.int32).sum(axis=0)
+
+    entrants = []  # (valid, xl, yl, vx, vy, pid) aligned to destination bins
+    for d, (dr, dc) in enumerate(DIRS):
+        if (dr, dc) == (0, 0):
+            continue
+        # A particle leaving its bin toward (dr, dc) arrives at me if its
+        # source bin is at my (-dr, -dc); shift source planes accordingly.
+        for e in range(evac_cap):
+            exl, eyl, evx, evy, epid = evac[d][e]
+            epid_s = _shifted(epid, -dr, -dc, fill=-1)
+            valid = epid_s >= 0
+            entrants.append(
+                (
+                    valid,
+                    _shifted(exl, -dr, -dc),
+                    _shifted(eyl, -dr, -dc),
+                    _shifted(evx, -dr, -dc, fill=0.0),
+                    _shifted(evy, -dr, -dc, fill=0.0),
+                    epid_s,
+                )
+            )
+
+    erank = jnp.zeros(is_free.shape[1:], jnp.int32)
+    xl_out = [xl_new[s] for s in range(cap)]
+    yl_out = [yl_new[s] for s in range(cap)]
+    vx_out = [vx_new[s] for s in range(cap)]
+    vy_out = [vy_new[s] for s in range(cap)]
+    pid_out = [pid_new[s] for s in range(cap)]
+    n_in = jnp.zeros(is_free.shape[1:], jnp.int32)
+    for valid, exl, eyl, evx, evy, epid in entrants:
+        for s in range(cap):
+            sel = valid & is_free[s] & (erank == free_rank[s])
+            xl_out[s] = jnp.where(sel, exl, xl_out[s])
+            yl_out[s] = jnp.where(sel, eyl, yl_out[s])
+            vx_out[s] = jnp.where(sel, evx, vx_out[s])
+            vy_out[s] = jnp.where(sel, evy, vy_out[s])
+            pid_out[s] = jnp.where(sel, epid, pid_out[s])
+        erank = erank + valid.astype(jnp.int32)
+        n_in = n_in + valid.astype(jnp.int32)
+
+    insert_overflow = jnp.maximum(n_in - n_free, 0).sum()
+
+    new_state = SlabState(
+        jnp.stack(xl_out), jnp.stack(yl_out), jnp.stack(vx_out),
+        jnp.stack(vy_out), jnp.stack(pid_out),
+    )
+    occupancy = (new_state.pid >= 0).astype(jnp.int32).sum(axis=0).max()
+    dropped = (
+        evac_overflow + insert_overflow + far.astype(jnp.int32).sum()
+    ).astype(jnp.int32)
+    return new_state, RebinMonitors(occupancy.astype(jnp.int32), dropped)

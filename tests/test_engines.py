@@ -1,0 +1,99 @@
+"""Engine parity and invariant tests (the rebuild's answer to SURVEY.md §4:
+oracle comparison, determinism discipline, invariant asserts, and multi-rank
+testing without a cluster)."""
+
+import numpy as np
+import pytest
+
+from ppsim_tpu.checker import check_frames
+from ppsim_tpu.config import SimConfig
+from ppsim_tpu.engines import get_engine
+from ppsim_tpu.initlib import init_particles
+
+
+@pytest.fixture(scope="module")
+def state_and_config():
+    cfg = SimConfig(num_parts=1500)
+    return init_particles(cfg, seed=42, method="reference"), cfg
+
+
+def test_binned_matches_oracle_bitexact(state_and_config):
+    state, cfg = state_and_config
+    r1 = get_engine("oracle", cfg).run(state, nsteps=50, savefreq=10)
+    r2 = get_engine("binned", cfg).run(state, nsteps=50, savefreq=10)
+    np.testing.assert_array_equal(r1.frames, r2.frames)
+    r2.check(cfg)
+
+
+def test_sharded_matches_binned_bitexact(state_and_config):
+    state, cfg = state_and_config
+    r1 = get_engine("binned", cfg).run(state, nsteps=60, savefreq=10)
+    r2 = get_engine("sharded", cfg).run(state, nsteps=60, savefreq=10)
+    np.testing.assert_array_equal(r1.frames, r2.frames)
+    r2.check(cfg)
+
+
+def test_sharded_migration_preserves_particles(state_and_config):
+    state, cfg = state_and_config
+    eng = get_engine("sharded", cfg)
+    res = eng.run(state, nsteps=120)
+    res.check(cfg)
+    # every particle accounted for exactly once and inside the box
+    pos = np.asarray(res.state.pos)
+    assert pos.shape == (cfg.num_parts, 2)
+    assert pos.min() >= 0.0 and pos.max() <= cfg.size
+
+
+def test_grid_one_step_close_to_oracle(grid_test_config):
+    cfg = grid_test_config
+    state = init_particles(cfg, seed=42, method="reference")
+    s1 = get_engine("oracle", cfg).step_state(state)
+    s2 = get_engine("grid", cfg).step_state(state)
+    np.testing.assert_allclose(
+        np.asarray(s1.pos), np.asarray(s2.pos), atol=5e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.vel), np.asarray(s2.vel), atol=2e-3
+    )
+
+
+@pytest.mark.slow
+def test_grid_trajectory_passes_checker(grid_test_config):
+    cfg = grid_test_config
+    state = init_particles(cfg, seed=42, method="reference")
+    res = get_engine("grid", cfg).run(state, nsteps=120, savefreq=10)
+    res.check(cfg, capacity=cfg.grid_capacity)
+    assert check_frames(res.frames, cfg).passed
+
+
+@pytest.mark.slow
+def test_pallas_interpret_matches_grid(grid_test_config):
+    cfg = grid_test_config
+    state = init_particles(cfg, seed=42, method="reference")
+    s1 = get_engine("grid", cfg).step_state(state)
+    s2 = get_engine("pallas", cfg).step_state(state)  # interpret mode on CPU
+    np.testing.assert_allclose(np.asarray(s1.pos), np.asarray(s2.pos), atol=1e-7)
+
+
+def test_bin_overflow_detected():
+    cfg = SimConfig(num_parts=1000, bin_capacity=1)
+    state = init_particles(cfg, seed=42, method="reference")
+    res = get_engine("binned", cfg).run(state, nsteps=5)
+    with pytest.raises(RuntimeError, match="bin overflow"):
+        res.check(cfg)
+
+
+def test_unknown_engine_rejected():
+    with pytest.raises(ValueError, match="unknown engine"):
+        get_engine("cuda", SimConfig())
+
+
+def test_energy_and_containment_invariants(state_and_config):
+    state, cfg = state_and_config
+    res = get_engine("binned", cfg).run(state, nsteps=100)
+    res.check(cfg)
+    pos = np.asarray(res.state.pos)
+    vel = np.asarray(res.state.vel)
+    assert pos.min() >= 0.0 and pos.max() <= cfg.size
+    # repulsion-only dynamics with dt=5e-4 keeps speeds bounded
+    assert np.abs(vel).max() < 10.0

@@ -1,0 +1,134 @@
+"""Slab-grid op invariants: packing roundtrip, rebin conservation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppsim_tpu.config import SimConfig
+from ppsim_tpu.initlib import init_particles
+from ppsim_tpu.ops import grid_ops
+from ppsim_tpu.ops.binning import BIG
+from ppsim_tpu.ops.grid_ops import SlabGeometry
+
+
+@pytest.fixture
+def geom(grid_test_config):
+    return SlabGeometry.for_config(grid_test_config)
+
+
+def pack(cfg, geom, seed=42):
+    state = init_particles(cfg, seed=seed, method="fast")
+    slab, overflow = jax.jit(lambda p, v: grid_ops.slab_from_particles(p, v, geom))(
+        state.pos, state.vel
+    )
+    assert int(overflow) == 0
+    return state, slab
+
+
+def test_pack_unpack_roundtrip(grid_test_config, geom):
+    cfg = grid_test_config
+    state, slab = pack(cfg, geom)
+    pos, vel = grid_ops.slab_to_particles(slab, geom, cfg.num_parts)
+    np.testing.assert_allclose(np.asarray(pos), np.asarray(state.pos), atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(vel), np.asarray(state.vel))
+
+
+def test_pack_bin_locality(grid_test_config, geom):
+    _, slab = pack(grid_test_config, geom)
+    xl = np.asarray(slab.xl)
+    occupied = np.asarray(slab.pid) >= 0
+    assert xl[occupied].min() >= 0.0
+    assert xl[occupied].max() <= geom.bin_size + 1e-6
+    assert (xl[~occupied] == BIG).all()
+
+
+def test_rebin_identity_when_nothing_moved(grid_test_config, geom):
+    cfg = grid_test_config
+    _, slab = pack(cfg, geom)
+    new, mon = jax.jit(lambda s: grid_ops.grid_rebin(s, geom, cfg.evac_capacity))(slab)
+    assert int(mon.dropped) == 0
+    np.testing.assert_array_equal(np.asarray(new.pid), np.asarray(slab.pid))
+    np.testing.assert_array_equal(np.asarray(new.xl), np.asarray(slab.xl))
+
+
+def test_rebin_conserves_particles_after_drift(grid_test_config, geom):
+    cfg = grid_test_config
+    state, slab = pack(cfg, geom)
+    # Drift every particle by a sizeable step so some cross bin boundaries.
+    rng = np.random.default_rng(0)
+    drift = rng.uniform(-0.4 * geom.bin_size, 0.4 * geom.bin_size, (2,))
+    alive = slab.pid >= 0
+    slab = slab._replace(
+        xl=jnp.where(alive, slab.xl + drift[0], slab.xl),
+        yl=jnp.where(alive, slab.yl + drift[1], slab.yl),
+    )
+    new, mon = jax.jit(lambda s: grid_ops.grid_rebin(s, geom, cfg.evac_capacity))(slab)
+    assert int(mon.dropped) == 0
+
+    old_pids = np.sort(np.asarray(slab.pid)[np.asarray(slab.pid) >= 0])
+    new_pids = np.sort(np.asarray(new.pid)[np.asarray(new.pid) >= 0])
+    np.testing.assert_array_equal(old_pids, new_pids)
+
+    # Global positions unchanged by rebinning (renorm is exact).
+    def gpos(s):
+        gx, gy = grid_ops.global_positions(s, geom)
+        flat = np.asarray(s.pid).reshape(-1)
+        out = np.zeros((cfg.num_parts, 2))
+        ok = flat >= 0
+        out[flat[ok], 0] = np.asarray(gx).reshape(-1)[ok]
+        out[flat[ok], 1] = np.asarray(gy).reshape(-1)[ok]
+        return out
+
+    np.testing.assert_allclose(gpos(new), gpos(slab), atol=1e-6)
+    # Rebinned positions are back inside their bins.
+    occ = np.asarray(new.pid) >= 0
+    assert np.asarray(new.xl)[occ].min() >= -1e-6
+    assert np.asarray(new.xl)[occ].max() <= geom.bin_size + 1e-6
+
+
+def test_move_keeps_empty_slots_inert(grid_test_config, geom):
+    cfg = grid_test_config
+    _, slab = pack(cfg, geom)
+    accel = (jnp.ones_like(slab.xl), jnp.ones_like(slab.yl))
+    new, max_speed = jax.jit(
+        lambda s: grid_ops.grid_move(s, accel, geom, cfg.dt, cfg.size)
+    )(slab)
+    empty = np.asarray(slab.pid) < 0
+    assert (np.asarray(new.xl)[empty] == BIG).all()
+    assert float(max_speed) > 0
+
+
+@pytest.mark.slow
+def test_pallas_rebin_matches_xla(grid_test_config, geom):
+    from ppsim_tpu.ops.pallas_rebin import grid_rebin_pallas
+
+    cfg = grid_test_config
+    state, slab = pack(cfg, geom)
+    rng = np.random.default_rng(0)
+    drift = rng.uniform(-0.45 * geom.bin_size, 0.45 * geom.bin_size, (2,))
+    alive = slab.pid >= 0
+    slab = slab._replace(
+        xl=jnp.where(alive, slab.xl + drift[0], slab.xl),
+        yl=jnp.where(alive, slab.yl + drift[1], slab.yl),
+    )
+    a, amon = jax.jit(lambda s: grid_ops.grid_rebin(s, geom, cfg.evac_capacity))(slab)
+    b, bmon = grid_rebin_pallas(slab, geom, cfg.evac_capacity, interpret=True)
+    assert int(amon.dropped) == int(bmon.dropped) == 0
+    assert int(amon.max_occupancy) == int(bmon.max_occupancy)
+
+    def canon(s):
+        gx, gy = grid_ops.global_positions(s, geom)
+        pid = np.asarray(s.pid).reshape(-1)
+        ok = pid >= 0
+        out = np.zeros((cfg.num_parts, 4))
+        out[pid[ok], 0] = np.asarray(gx).reshape(-1)[ok]
+        out[pid[ok], 1] = np.asarray(gy).reshape(-1)[ok]
+        out[pid[ok], 2] = np.asarray(s.vx).reshape(-1)[ok]
+        out[pid[ok], 3] = np.asarray(s.vy).reshape(-1)[ok]
+        return out, int(ok.sum())
+
+    ca, na = canon(a)
+    cb, nb = canon(b)
+    assert na == nb == cfg.num_parts
+    np.testing.assert_array_equal(ca, cb)
