@@ -62,14 +62,33 @@ class MT19937:
         self._pos = 0
 
     def _twist(self) -> np.ndarray:
+        # The generation pass updates the state IN PLACE: iteration i reads
+        # x[i+M mod N] and (for the final element) x[0] *after* they were
+        # rewritten by earlier iterations. Vectorize in dependency-safe
+        # chunks: the first N-M elements read only old state; the rest read
+        # new values with lag N-M, so chunks of that size stay consistent.
         x = self._state
-        xU = x & self.UPPER
-        xL = np.roll(x, -1) & self.LOWER
-        y = xU | xL
-        mag = np.where((y & np.uint32(1)).astype(bool), self.MATRIX_A, np.uint32(0))
-        self._state = np.roll(x, -self.M) ^ (y >> np.uint32(1)) ^ mag
+        N, M = self.N, self.M
+        one = np.uint32(1)
+
+        def gen(y, src):
+            mag = np.where((y & one).astype(bool), self.MATRIX_A, np.uint32(0))
+            return src ^ (y >> one) ^ mag
+
+        nxt = np.empty_like(x)
+        y = (x[0 : N - M] & self.UPPER) | (x[1 : N - M + 1] & self.LOWER)
+        nxt[0 : N - M] = gen(y, x[M:N])
+        start = N - M
+        while start < N - 1:
+            end = min(N - 1, start + (N - M))
+            y = (x[start:end] & self.UPPER) | (x[start + 1 : end + 1] & self.LOWER)
+            nxt[start:end] = gen(y, nxt[start + M - N : end + M - N])
+            start = end
+        y = (x[N - 1] & self.UPPER) | (nxt[0] & self.LOWER)
+        nxt[N - 1] = gen(y, nxt[M - 1])
+        self._state = nxt
         # temper
-        z = self._state.copy()
+        z = nxt.copy()
         z ^= z >> np.uint32(11)
         z ^= (z << np.uint32(7)) & np.uint32(0x9D2C5680)
         z ^= (z << np.uint32(15)) & np.uint32(0xEFC60000)

@@ -100,15 +100,18 @@ def _rebin_kernel(*refs, cap, evac_cap, geom: SlabGeometry, br):
         out_f[3][s] = jnp.where(stays, cvy[s], 0.0)
         out_f[4][s] = jnp.where(stays, cp[s], -1)
 
-    # free-slot rank (exclusive cumsum over slabs)
+    # Free-slot rank (exclusive cumsum over slabs). Ranks are carried as
+    # float32: Mosaic narrows 0/1-valued int32 vectors back to i1 and then
+    # fails to legalize integer equality on i1 vectors; float compares are
+    # exact for these small counts and lower cleanly.
     free_rank = []
-    running = jnp.zeros((br, C), jnp.int32)
+    running = jnp.zeros((br, C), jnp.float32)
     for s in range(cap):
         free_rank.append(running)
-        running = running + (out_f[4][s] < 0).astype(jnp.int32)
+        running = running + jnp.where(out_f[4][s] < 0, 1.0, 0.0)
 
     # --- entrants: per direction, rank-compact on the source view ---------
-    erank = jnp.zeros((br, C), jnp.int32)
+    erank = jnp.zeros((br, C), jnp.float32)
     for dr, dc in DIRS:
         if (dr, dc) == (0, 0):
             continue
@@ -116,12 +119,12 @@ def _rebin_kernel(*refs, cap, evac_cap, geom: SlabGeometry, br):
         vx_, vy_ = -dr, -dc
         sxl, syl, svx, svy, spid, sgrow = views[vx_]
 
-        def lane_align(f):
+        def lane_align(f, fill, dc=dc):
             if dc == 0:
                 return f
             out = pltpu.roll(f, dc % C, 1)
             bad = (col_iota == 0) if dc == 1 else (col_iota == C - 1)
-            return jnp.where(bad, _fill, out)
+            return jnp.where(bad, fill, out)
 
         # candidate accumulators for this direction
         cand = [
@@ -131,7 +134,7 @@ def _rebin_kernel(*refs, cap, evac_cap, geom: SlabGeometry, br):
             [jnp.zeros((br, C), jnp.float32) for _ in range(evac_cap)],      # vy
             [jnp.full((br, C), -1, jnp.int32) for _ in range(evac_cap)],     # pid
         ]
-        rank = jnp.zeros((br, C), jnp.int32)
+        rank = jnp.zeros((br, C), jnp.float32)
         sgcol = col_iota  # source col iota equals dest col iota pre-roll
         for s in range(cap):
             pid_s = spid[s]
@@ -142,22 +145,19 @@ def _rebin_kernel(*refs, cap, evac_cap, geom: SlabGeometry, br):
             yre = syl[s] - jnp.float32(dc) * bs
             vals = (xre, yre, svx[s], svy[s], pid_s)
             for e in range(evac_cap):
-                sel = mask & (rank == e)
+                sel = mask & (rank == jnp.float32(e))
                 for fi in range(5):
                     cand[fi][e] = jnp.where(sel, vals[fi], cand[fi][e])
-            rank = rank + mask.astype(jnp.int32)
+            rank = rank + jnp.where(mask, 1.0, 0.0)
 
         # shift candidates into the destination frame (lanes only; rows are
         # already aligned by the view choice) and insert by rank matching
         for e in range(evac_cap):
-            _fill = -1
-            pid_c = lane_align(cand[4][e])
-            _fill = BIG
-            xl_c = lane_align(cand[0][e])
-            yl_c = lane_align(cand[1][e])
-            _fill = 0.0
-            vx_c = lane_align(cand[2][e])
-            vy_c = lane_align(cand[3][e])
+            pid_c = lane_align(cand[4][e], -1)
+            xl_c = lane_align(cand[0][e], BIG)
+            yl_c = lane_align(cand[1][e], BIG)
+            vx_c = lane_align(cand[2][e], 0.0)
+            vy_c = lane_align(cand[3][e], 0.0)
             valid = pid_c >= 0
             for s in range(cap):
                 sel = valid & (out_f[4][s] < 0) & (erank == free_rank[s])
@@ -166,7 +166,7 @@ def _rebin_kernel(*refs, cap, evac_cap, geom: SlabGeometry, br):
                 out_f[2][s] = jnp.where(sel, vx_c, out_f[2][s])
                 out_f[3][s] = jnp.where(sel, vy_c, out_f[3][s])
                 out_f[4][s] = jnp.where(sel, pid_c, out_f[4][s])
-            erank = erank + valid.astype(jnp.int32)
+            erank = erank + jnp.where(valid, 1.0, 0.0)
 
     for s in range(cap):
         xo[s] = out_f[0][s]

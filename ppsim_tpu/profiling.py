@@ -1,0 +1,118 @@
+"""Per-phase timing and profiler-trace helpers.
+
+The reference instruments phases two ways: vecmp.cpp keeps t1..t4 wall-clock
+accumulators for insert/force/move/clear dumped by ``callback()``
+(part1/vecmp.cpp:25-32,178-183 — source of the write-up's phase table), and
+part3 used nvprof for the CUDA kernel split (write-up §6). The TPU analogs:
+
+- :func:`phase_times` — measures phase costs by *variant subtraction*:
+  compile the step scan with a phase disabled and diff the marginal step
+  time. Robust against the async-dispatch pitfalls of timing sub-ops in
+  isolation (per-call latency floors dwarf sub-millisecond ops here).
+- :func:`trace` — ``jax.profiler`` trace context (TensorBoard format), the
+  nvprof analog; also reachable via the CLI's ``--trace``.
+
+All timings force a real device->host sync through a scalar fetch; plain
+``block_until_ready`` is not a reliable fence on every platform (see
+ppsim_tpu/testing.py on the axon relay).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppsim_tpu.state import ParticleState
+
+__all__ = ["phase_times", "trace", "timeit_scan"]
+
+
+def timeit_scan(step_fn, carry, steps_a: int = 10, steps_b: int = 60, reps: int = 3):
+    """Marginal per-step seconds of ``step_fn`` inside a jitted scan.
+
+    Times scans of two lengths and divides the difference, cancelling
+    per-call dispatch/transfer overhead (which dominates on relayed TPUs).
+    """
+
+    def runner(n):
+        @jax.jit
+        def run(c):
+            c, _ = jax.lax.scan(lambda cc, _: (step_fn(cc), None), c, None, length=n)
+            return jax.tree.map(
+                lambda x: x.ravel()[0].astype(jnp.float32)
+                if hasattr(x, "ravel")
+                else x,
+                c,
+            )
+
+        return run
+
+    run_a, run_b = runner(steps_a), runner(steps_b)
+    jax.device_get(run_a(carry))
+    jax.device_get(run_b(carry))
+
+    def best(run):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(run(carry))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return max(best(run_b) - best(run_a), 0.0) / (steps_b - steps_a)
+
+
+def phase_times(engine, state: ParticleState, steps: int = 50) -> Dict[str, float]:
+    """Per-phase seconds/step for a grid-family engine (force/move/rebin).
+
+    Returns {"step": t, "force": ~, "rebin": ~, "move+overhead": ~}; each
+    phase cost is the marginal slowdown versus a variant with that phase
+    disabled (accel hard-zeroed / rebin cadence pushed past the horizon).
+    """
+    from ppsim_tpu.engines.grid import GridEngine
+
+    if not isinstance(engine, GridEngine):
+        raise TypeError("phase_times currently supports the grid-family engines")
+
+    carry = engine.init_carry(state)
+    t_full = timeit_scan(engine.step_carry, carry, 10, 10 + steps)
+
+    real_accel = engine.accel_of
+    engine.accel_of = lambda xl, yl: (jnp.zeros_like(xl), jnp.zeros_like(yl))
+    try:
+        t_noforce = timeit_scan(engine.step_carry, carry, 10, 10 + steps)
+    finally:
+        engine.accel_of = real_accel
+
+    real_rebin = engine.rebin_of
+    from ppsim_tpu.ops.grid_ops import RebinMonitors
+
+    engine.rebin_of = lambda s: (
+        s,
+        RebinMonitors(jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+    )
+    try:
+        t_norebin = timeit_scan(engine.step_carry, carry, 10, 10 + steps)
+    finally:
+        engine.rebin_of = real_rebin
+
+    force = max(t_full - t_noforce, 0.0)
+    rebin = max(t_full - t_norebin, 0.0)
+    return {
+        "step": t_full,
+        "force": force,
+        "rebin": rebin,
+        "move+overhead": max(t_full - force - rebin, 0.0),
+    }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context (view with TensorBoard)."""
+    with jax.profiler.trace(log_dir):
+        yield
