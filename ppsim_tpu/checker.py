@@ -49,12 +49,14 @@ class CheckResult(NamedTuple):
 def frame_distance_stats(pos: np.ndarray, cutoff: float, cell_block: int = 4096):
     """(min, sum, count) of pair distances below cutoff in one frame.
 
-    O(N^2) in row blocks — the checker is a trust anchor, so it deliberately
-    uses the brute-force formulation (like part1/reference.cpp) rather than
-    sharing the binned engine's machinery.
+    Small frames use the brute-force O(N^2) formulation (the trust anchor,
+    like part1/reference.cpp); large frames switch to an independent numpy
+    cell-list pass (still not sharing any engine machinery).
     """
     pos = np.asarray(pos, dtype=np.float64)
     n = pos.shape[0]
+    if n > 20_000:
+        return _cell_list_stats(pos, cutoff)
     dmin = np.inf
     dsum = 0.0
     dcount = 0
@@ -72,6 +74,61 @@ def frame_distance_stats(pos: np.ndarray, cutoff: float, cell_block: int = 4096)
             dmin = min(dmin, float(d.min()))
             dsum += float(d.sum())
             dcount += int(d.size)
+    return dmin, dsum, dcount
+
+
+def _cell_list_stats(pos: np.ndarray, cutoff: float):
+    """Cell-list interacting-pair stats: O(N) memory, vectorized numpy.
+
+    Sorts particles into cutoff-sized cells and, for each of the 9 stencil
+    offsets, matches equal-capacity padded cell slabs — a host-side echo of
+    the cell idea (serial.cpp:102-117) written independently of the engines.
+    """
+    n = pos.shape[0]
+    side = max(pos.max(), 1e-9)
+    ncell = max(1, int(np.ceil(side / cutoff)))
+    cx = np.clip((pos[:, 0] / cutoff).astype(np.int64), 0, ncell - 1)
+    cy = np.clip((pos[:, 1] / cutoff).astype(np.int64), 0, ncell - 1)
+    cid = cx * ncell + cy
+    order = np.argsort(cid, kind="stable")
+    sorted_cid = cid[order]
+    spos = pos[order]
+    # per-cell slices
+    starts = np.searchsorted(sorted_cid, np.arange(ncell * ncell))
+    ends = np.searchsorted(sorted_cid, np.arange(ncell * ncell), side="right")
+    counts = ends - starts
+    cap = int(counts.max())
+    # padded (cells, cap) index table
+    slot = np.arange(n) - starts[sorted_cid]
+    table = np.full((ncell * ncell, cap), -1, dtype=np.int64)
+    table[sorted_cid, slot] = np.arange(n)
+    px = np.where(table >= 0, spos[table.clip(0), 0], 1e9)
+    py = np.where(table >= 0, spos[table.clip(0), 1], 1e9)
+
+    dmin = np.inf
+    dsum = 0.0
+    dcount = 0
+    grid_px = px.reshape(ncell, ncell, cap)
+    grid_py = py.reshape(ncell, ncell, cap)
+    for dx_ in (-1, 0, 1):
+        for dy_ in (-1, 0, 1):
+            nx = np.full((ncell, ncell, cap), 1e9)
+            ny = np.full((ncell, ncell, cap), 1e9)
+            xs = slice(max(0, -dx_), ncell - max(0, dx_))
+            xd = slice(max(0, dx_), ncell - max(0, -dx_))
+            ys = slice(max(0, -dy_), ncell - max(0, dy_))
+            yd = slice(max(0, dy_), ncell - max(0, -dy_))
+            nx[xd, yd] = grid_px[xs, ys]
+            ny[xd, yd] = grid_py[xs, ys]
+            ddx = nx[:, :, None, :] - grid_px[:, :, :, None]
+            ddy = ny[:, :, None, :] - grid_py[:, :, :, None]
+            d2 = ddx * ddx + ddy * ddy
+            hit = (d2 < cutoff * cutoff) & (d2 > 0.0)
+            if hit.any():
+                d = np.sqrt(d2[hit])
+                dmin = min(dmin, float(d.min()))
+                dsum += float(d.sum())
+                dcount += int(d.size)
     return dmin, dsum, dcount
 
 

@@ -68,15 +68,17 @@ class SimConfig:
     # fewer, fuller bins: less capacity-padding waste per pair-candidate.
     grid_bin_scale: float = 5.0
     # Slots per bin (slab count). With grid_bin_scale=5, mean occupancy is
-    # grid_bin_scale^2 * cutoff^2 / density = 5.0; repulsion keeps occupancy
-    # sub-Poisson, so 10 slots suffice (overflow is monitored).
-    grid_capacity: int = 10
+    # grid_bin_scale^2 * cutoff^2 / density = 5.0; density fluctuations are
+    # near-Poisson at this scale, so leave tail room (overflow backpressure
+    # defers, never drops — but deferral costs transient force accuracy).
+    grid_capacity: int = 12
     # Rebin cadence in steps. Stale binning stays correct while accumulated
     # drift satisfies rebin_every * max|v| * dt <= (bin_side - cutoff) / 2;
     # monitored at runtime via max_speed.
     rebin_every: int = 8
-    # Max particles leaving one bin in one direction per rebin (monitored).
-    evac_capacity: int = 3
+    # Max particles leaving one bin in one direction per rebin; excess
+    # defers to the next rebin (monitored).
+    evac_capacity: int = 4
 
     # ---- derived geometry ----
     @property

@@ -13,8 +13,11 @@ Here the seam is :class:`ppsim_tpu.engines.base.Engine`; backends:
   bin-local coordinates, lazy rebinning); XLA ops everywhere
 - ``pallas``  — grid engine with the Mosaic force kernel on the hot path
   (reference: part3/gpu.cu CUDA kernels); the flagship perf engine
-- ``sharded`` — multi-chip shard_map strip decomposition with ppermute halo
-  exchange and particle migration (reference: part2/mpi.cpp)
+- ``sharded`` — multi-chip shard_map strip decomposition over particle
+  lists with ppermute halo exchange and explicit emigrant buffers
+  (reference: part2/mpi.cpp, closest structural analog)
+- ``sharded_grid`` — the flagship multi-chip path: slab-grid Mosaic kernels
+  per shard, row-strip sharding, ghost-row halo + count-plane migration
 """
 
 from ppsim_tpu.engines.base import Engine, RunResult, get_engine, register_engine
@@ -24,5 +27,6 @@ from ppsim_tpu.engines import oracle as _oracle  # noqa: F401
 from ppsim_tpu.engines import binned as _binned  # noqa: F401
 from ppsim_tpu.engines import sharded as _sharded  # noqa: F401
 from ppsim_tpu.engines import grid as _grid  # noqa: F401
+from ppsim_tpu.engines import sharded_grid as _sharded_grid  # noqa: F401
 
 __all__ = ["Engine", "RunResult", "get_engine", "register_engine"]

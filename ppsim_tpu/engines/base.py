@@ -36,22 +36,27 @@ class Monitors(NamedTuple):
     ``max_speed`` — float32 running max particle speed; the grid engine's
     stale-binning cadence is only valid while
     ``rebin_every * max_speed * dt <= grid_slack`` (checked post-run).
+    ``deferred`` — grid engine: leavers kept in their old bin for one rebin
+    round because the destination had no free slot (loss-free backpressure;
+    transiently stale forces for those particles, non-fatal, self-healing).
     """
 
     max_bin_count: jax.Array
     migrate_dropped: jax.Array
     max_speed: jax.Array
+    deferred: jax.Array
 
     @staticmethod
     def zeros() -> "Monitors":
         z = jnp.zeros((), jnp.int32)
-        return Monitors(z, z, jnp.zeros((), jnp.float32))
+        return Monitors(z, z, jnp.zeros((), jnp.float32), z)
 
     def merge(self, other: "Monitors") -> "Monitors":
         return Monitors(
             jnp.maximum(self.max_bin_count, other.max_bin_count),
             self.migrate_dropped + other.migrate_dropped,
             jnp.maximum(self.max_speed, other.max_speed),
+            self.deferred + other.deferred,
         )
 
 
@@ -143,6 +148,13 @@ class Engine:
         return carry.monitors
 
     # ---- common driver -----------------------------------------------------
+    def final_state_jit(self, carry) -> ParticleState:
+        """Jitted final_state (eager op-by-op extraction costs seconds on
+        relayed TPUs; never extract state eagerly on the timed path)."""
+        if not hasattr(self, "_final_jit"):
+            self._final_jit = jax.jit(self.final_state)
+        return self._final_jit(carry)
+
     def _program(self, nsteps: int, savefreq: int):
         key = (nsteps, savefreq)
         if key not in self._programs:
@@ -188,7 +200,7 @@ class Engine:
         nsteps = self.config.nsteps if nsteps is None else nsteps
         carry = self.init_carry(state)
         carry, frames = self._program(nsteps, savefreq)(carry)
-        final = jax.block_until_ready(self.final_state(carry))
+        final = jax.block_until_ready(self.final_state_jit(carry))
         monitors = jax.tree.map(np.asarray, self.monitors_of(carry))
         frames_np = np.asarray(frames) if frames is not None else None
         return RunResult(final, frames_np, monitors)

@@ -66,6 +66,6 @@ class BinnedEngine(Engine):
 
         z = jnp.zeros((), jnp.int32)
         monitors = carry.monitors.merge(
-            Monitors(grid.max_count, z, jnp.zeros((), jnp.float32))
+            Monitors(grid.max_count, z, jnp.zeros((), jnp.float32), z)
         )
         return Carry(pos, vel, pid, monitors)

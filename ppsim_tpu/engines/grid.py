@@ -60,6 +60,12 @@ class GridEngine(Engine):
     def rebin_of(self, slab):
         return grid_ops.grid_rebin(slab, self.geom, self.config.evac_capacity)
 
+    def move_phase(self, slab):
+        """Force + integrate; returns (new_slab, max_speed)."""
+        cfg = self.config
+        accel = self.accel_of(slab.xl, slab.yl)
+        return grid_ops.grid_move(slab, accel, self.geom, cfg.dt, cfg.size)
+
     # ------------------------------------------------------------- protocol
     def init_carry(self, state: ParticleState) -> GridCarry:
         slab, overflow = jax.jit(
@@ -72,20 +78,34 @@ class GridEngine(Engine):
             )
         return GridCarry(slab, jnp.zeros((), jnp.int32), Monitors.zeros())
 
-    def step_carry(self, carry: GridCarry) -> GridCarry:
-        cfg = self.config
-        geom = self.geom
+    def step_plain(self, carry: GridCarry) -> GridCarry:
+        slab, max_speed = self.move_phase(carry.slab)
+        z = jnp.zeros((), jnp.int32)
+        monitors = carry.monitors.merge(Monitors(z, z, max_speed, z))
+        return GridCarry(slab, carry.step + 1, monitors)
 
-        accel = self.accel_of(carry.slab.xl, carry.slab.yl)
-        slab, max_speed = grid_ops.grid_move(carry.slab, accel, geom, cfg.dt, cfg.size)
+    def step_with_rebin(self, carry: GridCarry) -> GridCarry:
+        slab, max_speed = self.move_phase(carry.slab)
+        slab, rmon = self.rebin_of(slab)
+        monitors = carry.monitors.merge(
+            Monitors(rmon.max_occupancy, rmon.dropped, max_speed, rmon.deferred)
+        )
+        return GridCarry(slab, carry.step + 1, monitors)
+
+    def step_carry(self, carry: GridCarry) -> GridCarry:
+        """General single step: rebin under a traced cond (used on cadences
+        that don't align with the scan blocking; the benchmark path uses the
+        statically-blocked ``_run_impl`` below, which never branches)."""
+        cfg = self.config
+
+        slab, max_speed = self.move_phase(carry.slab)
 
         def do_rebin(s):
             return self.rebin_of(s)
 
         def no_rebin(s):
-            return s, grid_ops.RebinMonitors(
-                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
-            )
+            z = jnp.zeros((), jnp.int32)
+            return s, grid_ops.RebinMonitors(z, z, z)
 
         step = carry.step + 1
         slab, rmon = jax.lax.cond(
@@ -93,9 +113,33 @@ class GridEngine(Engine):
         )
 
         monitors = carry.monitors.merge(
-            Monitors(rmon.max_occupancy, rmon.dropped, max_speed)
+            Monitors(rmon.max_occupancy, rmon.dropped, max_speed, rmon.deferred)
         )
         return GridCarry(slab, step, monitors)
+
+    def _run_impl(self, carry, *, nsteps: int, savefreq: int):
+        """Unsaved runs scan statically-blocked [K-1 plain + 1 rebin] steps —
+        no per-step branch, and no collectives inside conditionals for the
+        sharded variant. Saved runs fall back to the generic driver."""
+        if savefreq > 0:
+            return super()._run_impl(carry, nsteps=nsteps, savefreq=savefreq)
+        K = self.config.rebin_every
+
+        def block(c, _):
+            c, _ = jax.lax.scan(
+                lambda cc, _: (self.step_plain(cc), None), c, None, length=K - 1
+            )
+            return self.step_with_rebin(c), None
+
+        nblocks = nsteps // K
+        rem = nsteps - nblocks * K
+        if nblocks:
+            carry, _ = jax.lax.scan(block, carry, None, length=nblocks)
+        if rem:
+            carry, _ = jax.lax.scan(
+                lambda cc, _: (self.step_plain(cc), None), carry, None, length=rem
+            )
+        return carry, None
 
     def frame_of(self, carry: GridCarry):
         pos, _ = grid_ops.slab_to_particles(
@@ -143,3 +187,16 @@ class PallasGridEngine(GridEngine):
         return grid_rebin_pallas(
             slab, self.geom, self.config.evac_capacity, interpret=self.interpret
         )
+
+    def move_phase(self, slab):
+        from ppsim_tpu.ops.grid_ops import SlabState
+        from ppsim_tpu.ops.pallas_grid import grid_step_pallas
+
+        cfg = self.config
+        xl, yl, vx, vy = grid_step_pallas(
+            slab.xl, slab.yl, slab.vx, slab.vy, slab.pid, self.geom,
+            cfg.cutoff, cfg.min_r, cfg.mass, cfg.dt, cfg.size,
+            interpret=self.interpret,
+        )
+        max_speed = jnp.sqrt((vx * vx + vy * vy).max())
+        return SlabState(xl, yl, vx, vy, slab.pid), max_speed

@@ -272,7 +272,7 @@ class ShardedEngine(Engine):
             carry.monitors.max_bin_count, carry.monitors.migrate_dropped,
         )
         return ShardCarry(
-            pos, vel, pid, Monitors(max_bin, dropped, carry.monitors.max_speed)
+            pos, vel, pid, Monitors(max_bin, dropped, carry.monitors.max_speed, carry.monitors.deferred)
         )
 
     def _id_scatter(self, pid, values, n):

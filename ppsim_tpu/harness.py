@@ -74,13 +74,18 @@ def timed_run(engine, state: ParticleState, nsteps: int, savefreq: int):
     warm_carry = engine.init_carry(state)
     program = engine._program(nsteps, savefreq)
     compiled = program.lower(warm_carry).compile()
-    jax.block_until_ready(warm_carry)
+    # Pre-compile the final-state extraction too, and force one real
+    # device->host sync (block_until_ready alone is not a reliable fence on
+    # relayed TPU platforms).
+    warm_out, _ = compiled(warm_carry)
+    np.asarray(engine.final_state_jit(warm_out).pos)
 
     t0 = time.perf_counter()
     carry = engine.init_carry(state)
     carry, frames = compiled(carry)
-    final = engine.final_state(carry)
-    jax.block_until_ready(final)
+    final = engine.final_state_jit(carry)
+    # Real sync: fetch one scalar through the device->host path.
+    np.asarray(final.pos[0])
     seconds = time.perf_counter() - t0
 
     monitors = jax.tree.map(np.asarray, engine.monitors_of(carry))

@@ -92,7 +92,8 @@ class SlabState(NamedTuple):
 
 class RebinMonitors(NamedTuple):
     max_occupancy: jax.Array  # int32
-    dropped: jax.Array  # int32: evac overflow + insertion overflow + far moves
+    dropped: jax.Array  # int32: particles lost (structurally 0; fatal if not)
+    deferred: jax.Array  # int32: leavers kept in place this rebin (non-fatal)
 
 
 # ----------------------------------------------------------------- packing
@@ -257,22 +258,13 @@ def grid_move(state: SlabState, accel, geom: SlabGeometry, dt, size):
 
 
 # ------------------------------------------------------------------- rebin
-def grid_rebin(state: SlabState, geom: SlabGeometry, evac_cap: int):
-    """9-direction dense shuffle: move drifted particles to their new bins.
-
-    Lock-free analog of the reference's bin migration (serial.cpp:63-70 set
-    moves, gpu.cu:92-112 atomic rebinning): per source bin, leavers toward
-    each of the 8 directions are rank-compacted into ``evac_cap`` slots; each
-    destination then inserts the 8 shifted evacuation groups into its free
-    slots by rank matching. Stayers never move (slot-sticky). All counters
-    that could overflow are summed into ``RebinMonitors.dropped`` — overflow
-    means *detected* failure, never silent corruption.
-    """
-    cap = geom.capacity
-    bs = jnp.float32(geom.bin_size)
+def slab_dirs(state: SlabState, geom: SlabGeometry, row0=0):
+    """Per-slot movement direction (clamped to one hop and to the physical
+    grid) plus the far-move flag. Empty slots get direction 0. ``row0`` is
+    the global row index of the array's first row (sharded shards pass
+    their strip offset)."""
     inv_bs = jnp.float32(1.0 / geom.bin_size)
     alive = state.pid >= 0
-
     dirx_raw = jnp.floor(state.xl * inv_bs).astype(jnp.int32)
     diry_raw = jnp.floor(state.yl * inv_bs).astype(jnp.int32)
     dirx_raw = jnp.where(alive, dirx_raw, 0)
@@ -281,104 +273,154 @@ def grid_rebin(state: SlabState, geom: SlabGeometry, evac_cap: int):
     dirx = jnp.clip(dirx_raw, -1, 1)
     diry = jnp.clip(diry_raw, -1, 1)
     # Never step off the physical grid (x == size exactly would otherwise
-    # evacuate into a nonexistent row and be lost): clamp at the boundary
-    # rows/cols — the particle stays binned at the edge, within slack.
-    row = jax.lax.broadcasted_iota(jnp.int32, dirx.shape, 1)
+    # point at a nonexistent row): clamp at boundary rows/cols — the
+    # particle stays binned at the edge, within slack.
+    row = row0 + jax.lax.broadcasted_iota(jnp.int32, dirx.shape, 1)
     col = jax.lax.broadcasted_iota(jnp.int32, diry.shape, 2)
     dirx = jnp.clip(dirx, -jnp.minimum(row, 1), jnp.minimum(geom.rows - 1 - row, 1))
     diry = jnp.clip(diry, -jnp.minimum(col, 1), jnp.minimum(geom.cols - 1 - col, 1))
+    # Padded rows/cols beyond the physical grid see inverted clip bounds;
+    # they hold no particles, so zero them after the clamp.
+    dirx = jnp.where(alive, dirx, 0)
+    diry = jnp.where(alive, diry, 0)
+    return dirx, diry, far, alive
+
+
+def rebin_counts(state: SlabState, geom: SlabGeometry):
+    """(9, R, C) float32 count planes: slot [d] = leavers toward DIRS[d];
+    slot [4] (the stay direction) = total alive count A."""
+    dirx, diry, far, alive = slab_dirs(state, geom)
+    planes = []
+    for d, (dr, dc) in enumerate(DIRS):
+        if (dr, dc) == (0, 0):
+            planes.append(jnp.where(alive, 1.0, 0.0).sum(axis=0))
+        else:
+            mask = alive & (dirx == dr) & (diry == dc)
+            planes.append(jnp.where(mask, 1.0, 0.0).sum(axis=0))
+    return jnp.stack(planes), far
+
+
+def grid_rebin(state: SlabState, geom: SlabGeometry, evac_cap: int):
+    """Loss-free 9-direction dense shuffle (XLA twin of the Mosaic kernel).
+
+    Lock-free analog of the reference's bin migration (serial.cpp:63-70
+    pointer moves, gpu.cu:92-112 atomic rebinning), with a key upgrade over
+    both: **nothing is ever dropped**. Each (source bin, direction) leaver
+    group is admitted to its destination only up to the destination's
+    pre-rebin empty-slot budget, under a deterministic global priority
+    (DIRS order, then rank within group). Source and destination evaluate
+    the *same* acceptance predicate from shared neighborhood count planes,
+    so the decision is consistent without any communication — the SPMD
+    answer to MPI's sendrecv handshake (part2/mpi.cpp:230-253). Rejected
+    leavers simply stay binned where they were (``deferred`` monitor) and
+    retry next rebin; reference-style silent overflow corruption
+    (gpu.cu:109-111) is structurally impossible.
+    """
+    cap = geom.capacity
+    bs = jnp.float32(geom.bin_size)
+    counts, far = rebin_counts(state, geom)
+    dirx, diry, _, alive = slab_dirs(state, geom)
     dcode = (dirx + 1) * 3 + (diry + 1)
+    F = jnp.float32(cap) - counts[4]  # pre-rebin empty slots per bin
+
+    # off[d](b) = entrants already queued at destination b by groups that
+    # precede d in the global priority order.
+    off = {}
+    acc = jnp.zeros(counts.shape[1:], jnp.float32)
+    for d, (dr, dc) in enumerate(DIRS):
+        if (dr, dc) == (0, 0):
+            continue
+        off[d] = acc
+        acc = acc + _shifted(counts[d], -dr, -dc, fill=0.0)
 
     xl_re = state.xl - dirx.astype(jnp.float32) * bs
     yl_re = state.yl - diry.astype(jnp.float32) * bs
     fields = (xl_re, yl_re, state.vx, state.vy)
 
-    # --- evacuate: per direction, rank-compact leavers into evac slabs -----
-    evac = {}  # d -> (list of (xl, yl, vx, vy, pid) per evac slot)
-    evac_overflow = jnp.zeros((), jnp.int32)
+    xl_out = [state.xl[s] for s in range(cap)]
+    yl_out = [state.yl[s] for s in range(cap)]
+    vx_out = [state.vx[s] for s in range(cap)]
+    vy_out = [state.vy[s] for s in range(cap)]
+    pid_out = [state.pid[s] for s in range(cap)]
+
+    is_empty = state.pid < 0  # pre-rebin emptiness: the only slots entrants use
+    empty_rank = (
+        jnp.cumsum(jnp.where(is_empty, 1.0, 0.0), axis=0)
+        - jnp.where(is_empty, 1.0, 0.0)
+    )
+
+    deferred = jnp.zeros((), jnp.int32)
     for d, (dr, dc) in enumerate(DIRS):
         if (dr, dc) == (0, 0):
             continue
         mask = alive & (dcode == d)
-        rank = jnp.zeros(mask.shape[1:], jnp.int32)
-        slots = []
+        # source-side: acceptance against the destination's budget
+        off_at_dest = _shifted(off[d], dr, dc, fill=0.0)
+        F_at_dest = _shifted(F, dr, dc, fill=0.0)
+        rank = jnp.zeros(mask.shape[1:], jnp.float32)
+        cands = []  # per e: (xl, yl, vx, vy, pid) compacted accepted leavers
         for e in range(evac_cap):
-            slots.append(
-                [jnp.full(mask.shape[1:], BIG, jnp.float32) for _ in range(2)]
-                + [jnp.zeros(mask.shape[1:], jnp.float32) for _ in range(2)]
-                + [jnp.full(mask.shape[1:], -1, jnp.int32)]
-            )
+            cands.append(None)
+        accepted_planes = []
         for j in range(cap):
             mj = mask[j]
-            for e in range(evac_cap):
-                sel = mj & (rank == e)
-                for fi, f in enumerate(fields):
-                    slots[e][fi] = jnp.where(sel, f[j], slots[e][fi])
-                slots[e][4] = jnp.where(sel, state.pid[j], slots[e][4])
-            rank = rank + mj.astype(jnp.int32)
-        evac[d] = slots
-        evac_overflow = evac_overflow + jnp.maximum(rank - evac_cap, 0).sum()
-
-    # --- clear leavers from their slots -----------------------------------
-    leave = alive & (dcode != 4)
-    xl_new = jnp.where(leave, BIG, state.xl)
-    yl_new = jnp.where(leave, BIG, state.yl)
-    vx_new = jnp.where(leave, 0.0, state.vx)
-    vy_new = jnp.where(leave, 0.0, state.vy)
-    pid_new = jnp.where(leave, -1, state.pid)
-
-    # --- insert: entrants = neighbors' evac groups shifted into my frame --
-    is_free = pid_new < 0
-    free_rank = jnp.cumsum(is_free.astype(jnp.int32), axis=0) - is_free.astype(jnp.int32)
-    n_free = is_free.astype(jnp.int32).sum(axis=0)
-
-    entrants = []  # (valid, xl, yl, vx, vy, pid) aligned to destination bins
-    for d, (dr, dc) in enumerate(DIRS):
-        if (dr, dc) == (0, 0):
-            continue
-        # A particle leaving its bin toward (dr, dc) arrives at me if its
-        # source bin is at my (-dr, -dc); shift source planes accordingly.
-        for e in range(evac_cap):
-            exl, eyl, evx, evy, epid = evac[d][e]
-            epid_s = _shifted(epid, -dr, -dc, fill=-1)
-            valid = epid_s >= 0
-            entrants.append(
-                (
-                    valid,
-                    _shifted(exl, -dr, -dc),
-                    _shifted(eyl, -dr, -dc),
-                    _shifted(evx, -dr, -dc, fill=0.0),
-                    _shifted(evy, -dr, -dc, fill=0.0),
-                    epid_s,
-                )
+            acc_j = mj & (rank < float(evac_cap)) & (off_at_dest + rank < F_at_dest)
+            accepted_planes.append((acc_j, rank))
+            rank = rank + jnp.where(mj, 1.0, 0.0)
+        # clear accepted leavers; count deferred
+        for j in range(cap):
+            acc_j, _ = accepted_planes[j]
+            xl_out[j] = jnp.where(acc_j, BIG, xl_out[j])
+            yl_out[j] = jnp.where(acc_j, BIG, yl_out[j])
+            vx_out[j] = jnp.where(acc_j, 0.0, vx_out[j])
+            vy_out[j] = jnp.where(acc_j, 0.0, vy_out[j])
+            pid_out[j] = jnp.where(acc_j, -1, pid_out[j])
+            deferred = deferred + (
+                (mask[j] & ~acc_j).astype(jnp.int32).sum()
             )
+        # compact accepted by rank into evac candidate planes
+        for e in range(evac_cap):
+            exl = jnp.full(mask.shape[1:], BIG, jnp.float32)
+            eyl = jnp.full(mask.shape[1:], BIG, jnp.float32)
+            evx = jnp.zeros(mask.shape[1:], jnp.float32)
+            evy = jnp.zeros(mask.shape[1:], jnp.float32)
+            epid = jnp.full(mask.shape[1:], -1, jnp.int32)
+            for j in range(cap):
+                acc_j, rank_j = accepted_planes[j]
+                sel = acc_j & (rank_j == float(e))
+                exl = jnp.where(sel, fields[0][j], exl)
+                eyl = jnp.where(sel, fields[1][j], eyl)
+                evx = jnp.where(sel, fields[2][j], evx)
+                evy = jnp.where(sel, fields[3][j], evy)
+                epid = jnp.where(sel, state.pid[j], epid)
+            cands[e] = (exl, eyl, evx, evy, epid)
 
-    erank = jnp.zeros(is_free.shape[1:], jnp.int32)
-    xl_out = [xl_new[s] for s in range(cap)]
-    yl_out = [yl_new[s] for s in range(cap)]
-    vx_out = [vx_new[s] for s in range(cap)]
-    vy_out = [vy_new[s] for s in range(cap)]
-    pid_out = [pid_new[s] for s in range(cap)]
-    n_in = jnp.zeros(is_free.shape[1:], jnp.int32)
-    for valid, exl, eyl, evx, evy, epid in entrants:
-        for s in range(cap):
-            sel = valid & is_free[s] & (erank == free_rank[s])
-            xl_out[s] = jnp.where(sel, exl, xl_out[s])
-            yl_out[s] = jnp.where(sel, eyl, yl_out[s])
-            vx_out[s] = jnp.where(sel, evx, vx_out[s])
-            vy_out[s] = jnp.where(sel, evy, vy_out[s])
-            pid_out[s] = jnp.where(sel, epid, pid_out[s])
-        erank = erank + valid.astype(jnp.int32)
-        n_in = n_in + valid.astype(jnp.int32)
-
-    insert_overflow = jnp.maximum(n_in - n_free, 0).sum()
+        # destination-side: insert group d (sources at -d) at index off+e
+        for e in range(evac_cap):
+            exl, eyl, evx, evy, epid = cands[e]
+            cpid = _shifted(epid, -dr, -dc, fill=-1)
+            cxl = _shifted(exl, -dr, -dc)
+            cyl = _shifted(eyl, -dr, -dc)
+            cvx = _shifted(evx, -dr, -dc, fill=0.0)
+            cvy = _shifted(evy, -dr, -dc, fill=0.0)
+            valid = cpid >= 0
+            idx = off[d] + float(e)
+            for s in range(cap):
+                sel = valid & is_empty[s] & (empty_rank[s] == idx)
+                xl_out[s] = jnp.where(sel, cxl, xl_out[s])
+                yl_out[s] = jnp.where(sel, cyl, yl_out[s])
+                vx_out[s] = jnp.where(sel, cvx, vx_out[s])
+                vy_out[s] = jnp.where(sel, cvy, vy_out[s])
+                pid_out[s] = jnp.where(sel, cpid, pid_out[s])
 
     new_state = SlabState(
         jnp.stack(xl_out), jnp.stack(yl_out), jnp.stack(vx_out),
         jnp.stack(vy_out), jnp.stack(pid_out),
     )
-    occupancy = (new_state.pid >= 0).astype(jnp.int32).sum(axis=0).max()
-    dropped = (
-        evac_overflow + insert_overflow + far.astype(jnp.int32).sum()
-    ).astype(jnp.int32)
-    return new_state, RebinMonitors(occupancy.astype(jnp.int32), dropped)
+    occupancy_planes = (new_state.pid >= 0).astype(jnp.int32)
+    occupancy = occupancy_planes.sum(axis=0).max()
+    lost = alive.astype(jnp.int32).sum() - occupancy_planes.sum()
+    dropped = (lost + far.astype(jnp.int32).sum()).astype(jnp.int32)
+    return new_state, RebinMonitors(
+        occupancy.astype(jnp.int32), dropped, deferred
+    )

@@ -1,23 +1,24 @@
-"""Mosaic (Pallas TPU) kernel for the slab-grid 9-direction rebin shuffle.
+"""Mosaic (Pallas TPU) kernels for the loss-free slab-grid rebin shuffle.
 
-The CUDA engine rebins with a global ``atomicAdd`` scatter (part3/gpu.cu:
-92-112); the OpenMP engine with per-bin locks (part1/openmp.cpp:170-177).
-The TPU has neither atomics nor locks — this kernel does the rebin as pure
-data-parallel rank-matching, entirely in VMEM:
+Two passes (algorithm identical to the XLA twin, grid_ops.grid_rebin — see
+its docstring for the acceptance-predicate design):
 
-1. per source bin, leavers toward each of the 8 directions are compacted to
-   ``evac_capacity`` candidate planes by rank-matching over the slab axis;
-2. per destination bin, the 8 shifted candidate groups are inserted into
-   free slots by matching entrant-rank against free-slot-rank (a bijection,
-   so no conflicts by construction).
+1. **counts kernel** — per bin: alive count and per-direction leaver counts,
+   emitted as a (9, R, C) float32 plane stack (index = DIRS order, index 4 =
+   alive count).
+2. **shuffle kernel** — consumes 3-row views of the 5 field arrays plus
+   5-row views of the count stack (the acceptance predicate reads counts up
+   to 2 bins away), moves accepted leavers, defers the rest in place.
 
-Safety counters are computed afterwards in XLA from the pid planes: any
-overflow (evac group, free slots) manifests as a *lost particle*, so
-``count(before) - count(after)`` catches every failure mode — strictly
-stronger than the reference, which corrupts silently on bin overflow.
+The CUDA engine resolves rebin conflicts with ``atomicAdd`` (part3/gpu.cu:
+92-112) and silently corrupts past capacity (gpu.cu:109-111); the OpenMP
+engine locks every bin (part1/openmp.cpp:170-177). Here both sides of every
+transfer evaluate the same deterministic budget predicate from shared count
+planes, so there is nothing to lock and nothing to drop.
 
-Like the force kernel, the caller passes three row-shifted copies of each
-field so neighbor access reduces to elementwise ops plus lane rolls.
+All rank/count arithmetic is carried in float32: Mosaic narrows 0/1-valued
+int32 vectors to i1 and then cannot legalize integer equality on them; float
+compares are exact for these small counts and lower cleanly.
 """
 
 from __future__ import annotations
@@ -32,24 +33,26 @@ from jax.experimental.pallas import tpu as pltpu
 from ppsim_tpu.ops.binning import BIG
 from ppsim_tpu.ops.grid_ops import DIRS, RebinMonitors, SlabGeometry, SlabState
 
-__all__ = ["grid_rebin_pallas"]
+__all__ = ["grid_rebin_pallas", "rebin_counts_pallas", "rebin_shuffle_pallas"]
 
-_VMEM_BUDGET = 9 * 1024 * 1024
+# Conservative: Mosaic pads small sublane dims to tile boundaries and keeps
+# many live temporaries on the VMEM stack, so real usage runs well past the
+# raw I/O-block estimate (observed ~3.5x at capacity 12).
+_VMEM_BUDGET = 4 * 1024 * 1024
 
 
-def _pick_row_block(geom: SlabGeometry) -> int:
-    for br in (8, 4, 2, 1):
-        per_plane = br * geom.cols_pad * 4
-        # 15 in + 5 out blocks of (cap, br, C), double-buffered.
-        if 20 * geom.capacity * per_plane * 2 <= _VMEM_BUDGET and geom.rows_pad % br == 0:
-            return br
-    return 1
+def _pick_row_block(geom: SlabGeometry, nplanes: int, rows: int) -> int:
+    # Mosaic requires the block's second-minor dim divisible by 8 (or the
+    # full dimension); rely on a raised scoped-vmem limit instead of
+    # sub-8 blocks.
+    return 8 if rows % 8 == 0 else rows
 
 
 def _dirs_of(xl, yl, grow, gcol, geom: SlabGeometry, alive):
     """Per-slab direction components with physical-boundary clamping.
 
     ``grow``/``gcol`` are the global row/col index planes of this view.
+    Matches grid_ops.slab_dirs exactly.
     """
     inv = jnp.float32(1.0 / geom.bin_size)
     dirx = jnp.clip(jnp.floor(xl * inv).astype(jnp.int32), -1, 1)
@@ -61,171 +64,255 @@ def _dirs_of(xl, yl, grow, gcol, geom: SlabGeometry, alive):
     return dirx, diry
 
 
-def _rebin_kernel(*refs, cap, evac_cap, geom: SlabGeometry, br):
-    # inputs: 5 fields x 3 row-views (xl, yl, vx, vy, pid) -> 15 refs
+def _lane_shift(f, dc: int, fill, col_iota, cols: int):
+    """Plane shifted so element c reads f[c + dc]; OOB lanes get fill."""
+    if dc == 0:
+        return f
+    out = pltpu.roll(f, (-dc) % cols, 1)
+    if dc > 0:
+        bad = col_iota >= cols - dc
+    else:
+        bad = col_iota < -dc
+    return jnp.where(bad, fill, out)
+
+
+# ---------------------------------------------------------------- pass 1
+def _counts_kernel(x0, y0, p0, grow_ref, out, *, cap, geom: SlabGeometry, br):
+    C = geom.cols_pad
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (br, C), 1)
+    grow = grow_ref[...]
+
+    planes = [jnp.zeros((br, C), jnp.float32) for _ in range(9)]
+    for s in range(cap):
+        alive = p0[s] >= 0
+        dx_, dy_ = _dirs_of(x0[s], y0[s], grow, col_iota, geom, alive)
+        planes[4] = planes[4] + jnp.where(alive, 1.0, 0.0)
+        for d, (dr, dc) in enumerate(DIRS):
+            if (dr, dc) == (0, 0):
+                continue
+            m = alive & (dx_ == dr) & (dy_ == dc)
+            planes[d] = planes[d] + jnp.where(m, 1.0, 0.0)
+    for d in range(9):
+        out[d] = planes[d]
+
+
+# ---------------------------------------------------------------- pass 2
+def _shuffle_kernel(*refs, cap, evac_cap, geom: SlabGeometry, br):
+    # inputs: xl/yl/vx/vy/pid x 3 row-views (15) + counts x 5 row-views (5)
     # outputs: 5 field planes
     (xm, x0, xp, ym, y0, yp, vxm, vx0, vxp, vym, vy0, vyp, pm, p0, pp,
+     cm2, cm1, c0, cp1, cp2, grow_ref,
      xo, yo, vxo, vyo, po) = refs
     C = geom.cols_pad
     bs = jnp.float32(geom.bin_size)
-    i = pl.program_id(0)
-
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (br, C), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (br, C), 1)
-    base_row = i * br
+    grow0 = grow_ref[...]
 
-    views = {
-        -1: (xm, ym, vxm, vym, pm, base_row + row_iota - 1),
-        0: (x0, y0, vx0, vy0, p0, base_row + row_iota),
-        1: (xp, yp, vxp, vyp, pp, base_row + row_iota + 1),
+    cviews = {-2: cm2, -1: cm1, 0: c0, 1: cp1, 2: cp2}
+    fviews = {
+        -1: (xm, ym, vxm, vym, pm, grow0 - 1),
+        0: (x0, y0, vx0, vy0, p0, grow0),
+        1: (xp, yp, vxp, vyp, pp, grow0 + 1),
     }
 
-    # --- center view: stayers keep slots, leavers vacate -------------------
-    cx = [x0[s] for s in range(cap)]
-    cy = [y0[s] for s in range(cap)]
-    cvx = [vx0[s] for s in range(cap)]
-    cvy = [vy0[s] for s in range(cap)]
-    cp = [p0[s] for s in range(cap)]
-    grow0 = base_row + row_iota
-    out_f = [[None] * cap for _ in range(5)]
-    stay_mask = []
-    for s in range(cap):
-        alive = cp[s] >= 0
-        dx_, dy_ = _dirs_of(cx[s], cy[s], grow0, col_iota, geom, alive)
-        stays = alive & (dx_ == 0) & (dy_ == 0)
-        stay_mask.append(stays)
-        out_f[0][s] = jnp.where(stays, cx[s], BIG)
-        out_f[1][s] = jnp.where(stays, cy[s], BIG)
-        out_f[2][s] = jnp.where(stays, cvx[s], 0.0)
-        out_f[3][s] = jnp.where(stays, cvy[s], 0.0)
-        out_f[4][s] = jnp.where(stays, cp[s], -1)
+    def cnt(d_idx: int, dr: int, dc: int):
+        """Count plane d_idx of the bin at offset (dr, dc); OOB -> 0."""
+        return _lane_shift(cviews[dr][d_idx], dc, 0.0, col_iota, C)
 
-    # Free-slot rank (exclusive cumsum over slabs). Ranks are carried as
-    # float32: Mosaic narrows 0/1-valued int32 vectors back to i1 and then
-    # fails to legalize integer equality on i1 vectors; float compares are
-    # exact for these small counts and lower cleanly.
-    free_rank = []
-    running = jnp.zeros((br, C), jnp.float32)
-    for s in range(cap):
-        free_rank.append(running)
-        running = running + jnp.where(out_f[4][s] < 0, 1.0, 0.0)
-
-    # --- entrants: per direction, rank-compact on the source view ---------
-    erank = jnp.zeros((br, C), jnp.float32)
-    for dr, dc in DIRS:
+    cap_f = jnp.float32(geom.capacity)
+    # off[d] anchored at the DESTINATION: entrants queued before group d.
+    F0 = cap_f - cnt(4, 0, 0)
+    off = {}
+    acc = jnp.zeros((br, C), jnp.float32)
+    for d, (dr, dc) in enumerate(DIRS):
         if (dr, dc) == (0, 0):
             continue
-        # Source bins sit at (-dr, -dc) relative to the destination.
-        vx_, vy_ = -dr, -dc
-        sxl, syl, svx, svy, spid, sgrow = views[vx_]
+        off[d] = acc
+        acc = acc + cnt(d, -dr, -dc)
 
-        def lane_align(f, fill, dc=dc):
-            if dc == 0:
-                return f
-            out = pltpu.roll(f, dc % C, 1)
-            bad = (col_iota == 0) if dc == 1 else (col_iota == C - 1)
-            return jnp.where(bad, fill, out)
+    # center state starts unchanged (stayers + provisionally-deferred leavers)
+    out_x = [x0[s] for s in range(cap)]
+    out_y = [y0[s] for s in range(cap)]
+    out_vx = [vx0[s] for s in range(cap)]
+    out_vy = [vy0[s] for s in range(cap)]
+    out_p = [p0[s] for s in range(cap)]
 
-        # candidate accumulators for this direction
-        cand = [
-            [jnp.full((br, C), BIG, jnp.float32) for _ in range(evac_cap)],  # xl
-            [jnp.full((br, C), BIG, jnp.float32) for _ in range(evac_cap)],  # yl
-            [jnp.zeros((br, C), jnp.float32) for _ in range(evac_cap)],      # vx
-            [jnp.zeros((br, C), jnp.float32) for _ in range(evac_cap)],      # vy
-            [jnp.full((br, C), -1, jnp.int32) for _ in range(evac_cap)],     # pid
-        ]
+    # pre-rebin emptiness of the center bin (entrants use only these slots)
+    empty = [p0[s] < 0 for s in range(cap)]
+    empty_rank = []
+    running = jnp.zeros((br, C), jnp.float32)
+    for s in range(cap):
+        empty_rank.append(running)
+        running = running + jnp.where(empty[s], 1.0, 0.0)
+
+    for d, (dr, dc) in enumerate(DIRS):
+        if (dr, dc) == (0, 0):
+            continue
+        # ---- source side: clear accepted leavers from the center --------
+        # off_d and F at my destination (offset +d): counts live at
+        # offsets d - d' (within the 2-ring) from me.
+        off_at_dest = jnp.zeros((br, C), jnp.float32)
+        for dp, (dpr, dpc) in enumerate(DIRS):
+            if dp >= d:
+                break
+            if (dpr, dpc) == (0, 0):
+                continue
+            off_at_dest = off_at_dest + cnt(dp, dr - dpr, dc - dpc)
+        F_at_dest = cap_f - cnt(4, dr, dc)
+
         rank = jnp.zeros((br, C), jnp.float32)
-        sgcol = col_iota  # source col iota equals dest col iota pre-roll
         for s in range(cap):
-            pid_s = spid[s]
-            alive = pid_s >= 0
-            dx_, dy_ = _dirs_of(sxl[s], syl[s], sgrow, sgcol, geom, alive)
-            mask = alive & (dx_ == dr) & (dy_ == dc)
-            xre = sxl[s] - jnp.float32(dr) * bs
-            yre = syl[s] - jnp.float32(dc) * bs
-            vals = (xre, yre, svx[s], svy[s], pid_s)
-            for e in range(evac_cap):
-                sel = mask & (rank == jnp.float32(e))
-                for fi in range(5):
-                    cand[fi][e] = jnp.where(sel, vals[fi], cand[fi][e])
-            rank = rank + jnp.where(mask, 1.0, 0.0)
+            alive = p0[s] >= 0
+            dx_, dy_ = _dirs_of(x0[s], y0[s], grow0, col_iota, geom, alive)
+            mj = alive & (dx_ == dr) & (dy_ == dc)
+            accj = mj & (rank < float(evac_cap)) & (off_at_dest + rank < F_at_dest)
+            out_x[s] = jnp.where(accj, BIG, out_x[s])
+            out_y[s] = jnp.where(accj, BIG, out_y[s])
+            out_vx[s] = jnp.where(accj, 0.0, out_vx[s])
+            out_vy[s] = jnp.where(accj, 0.0, out_vy[s])
+            out_p[s] = jnp.where(accj, -1, out_p[s])
+            rank = rank + jnp.where(mj, 1.0, 0.0)
 
-        # shift candidates into the destination frame (lanes only; rows are
-        # already aligned by the view choice) and insert by rank matching
-        for e in range(evac_cap):
-            pid_c = lane_align(cand[4][e], -1)
-            xl_c = lane_align(cand[0][e], BIG)
-            yl_c = lane_align(cand[1][e], BIG)
-            vx_c = lane_align(cand[2][e], 0.0)
-            vy_c = lane_align(cand[3][e], 0.0)
-            valid = pid_c >= 0
-            for s in range(cap):
-                sel = valid & (out_f[4][s] < 0) & (erank == free_rank[s])
-                out_f[0][s] = jnp.where(sel, xl_c, out_f[0][s])
-                out_f[1][s] = jnp.where(sel, yl_c, out_f[1][s])
-                out_f[2][s] = jnp.where(sel, vx_c, out_f[2][s])
-                out_f[3][s] = jnp.where(sel, vy_c, out_f[3][s])
-                out_f[4][s] = jnp.where(sel, pid_c, out_f[4][s])
-            erank = erank + jnp.where(valid, 1.0, 0.0)
+        # ---- destination side: pull group d from the source at -d -------
+        sxl, syl, svx, svy, spid, sgrow = fviews[-dr]
+        # The source's acceptance predicate, evaluated in MY frame (its
+        # destination is me): off[d] and F0 are exactly its off/F at dest.
+        srank = jnp.zeros((br, C), jnp.float32)
+        for s in range(cap):
+            spid_s = _lane_shift(spid[s], -dc, -1, col_iota, C)
+            salive = spid_s >= 0
+            sxl_s = _lane_shift(sxl[s], -dc, BIG, col_iota, C)
+            syl_s = _lane_shift(syl[s], -dc, BIG, col_iota, C)
+            sgcol = col_iota - dc  # source's own column index
+            sdx, sdy = _dirs_of(sxl_s, syl_s, sgrow, sgcol, geom, salive)
+            mj = salive & (sdx == dr) & (sdy == dc)
+            accj = mj & (srank < float(evac_cap)) & (off[d] + srank < F0)
+            idx = off[d] + srank
+            svx_s = _lane_shift(svx[s], -dc, 0.0, col_iota, C)
+            svy_s = _lane_shift(svy[s], -dc, 0.0, col_iota, C)
+            xre = sxl_s - jnp.float32(dr) * bs
+            yre = syl_s - jnp.float32(dc) * bs
+            for t in range(cap):
+                sel = accj & empty[t] & (empty_rank[t] == idx)
+                out_x[t] = jnp.where(sel, xre, out_x[t])
+                out_y[t] = jnp.where(sel, yre, out_y[t])
+                out_vx[t] = jnp.where(sel, svx_s, out_vx[t])
+                out_vy[t] = jnp.where(sel, svy_s, out_vy[t])
+                out_p[t] = jnp.where(sel, spid_s, out_p[t])
+            srank = srank + jnp.where(mj, 1.0, 0.0)
 
     for s in range(cap):
-        xo[s] = out_f[0][s]
-        yo[s] = out_f[1][s]
-        vxo[s] = out_f[2][s]
-        vyo[s] = out_f[3][s]
-        po[s] = out_f[4][s]
+        xo[s] = out_x[s]
+        yo[s] = out_y[s]
+        vxo[s] = out_vx[s]
+        vyo[s] = out_vy[s]
+        po[s] = out_p[s]
 
 
-def _views(f, fill):
-    pad = jnp.pad(f, ((0, 0), (1, 1), (0, 0)), constant_values=fill)
-    R = f.shape[1]
-    return pad[:, 0:R], pad[:, 1 : R + 1], pad[:, 2 : R + 2]
+def _views(f, fill, halo: int, ghost_top=None, ghost_bot=None):
+    cap_or_k, R, C = f.shape
+    if ghost_top is None:
+        ghost_top = jnp.full((cap_or_k, halo, C), fill, f.dtype)
+    if ghost_bot is None:
+        ghost_bot = jnp.full((cap_or_k, halo, C), fill, f.dtype)
+    ext = jnp.concatenate([ghost_top, f, ghost_bot], axis=1)
+    return [ext[:, o : o + R] for o in range(2 * halo + 1)]
+
+
+@functools.partial(jax.jit, static_argnames=("geom", "interpret"))
+def rebin_counts_pallas(state: SlabState, geom: SlabGeometry,
+                        interpret: bool = False, row0=None):
+    """Pass 1: (9, R, C) count planes (index 4 = alive count A)."""
+    cap = state.xl.shape[0]
+    R, C = state.xl.shape[1], geom.cols_pad
+    br1 = _pick_row_block(geom, nplanes=3 * cap + 10, rows=R)
+    base = 0 if row0 is None else row0
+    grow = base + jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    spec1 = pl.BlockSpec((cap, br1, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    gspec1 = pl.BlockSpec((br1, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cspec1 = pl.BlockSpec((9, br1, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_counts_kernel, cap=cap, geom=geom, br=br1),
+        grid=(R // br1,),
+        in_specs=[spec1] * 3 + [gspec1],
+        out_specs=cspec1,
+        out_shape=jax.ShapeDtypeStruct((9, R, C), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(state.xl, state.yl, state.pid, grow)
+
+
+@functools.partial(jax.jit, static_argnames=("geom", "evac_cap", "interpret"))
+def rebin_shuffle_pallas(state: SlabState, counts, geom: SlabGeometry,
+                         evac_cap: int, interpret: bool = False, row0=None,
+                         field_ghosts=None, count_ghosts=None) -> SlabState:
+    """Pass 2: the shuffle itself. ``field_ghosts``: optional per-field
+    (top, bot) 1-row blocks in (xl, yl, vx, vy, pid) order; ``count_ghosts``:
+    optional (top, bot) 2-row blocks of the count stack."""
+    cap = state.xl.shape[0]
+    R, C = state.xl.shape[1], geom.cols_pad
+    br = _pick_row_block(geom, nplanes=20 * cap + 56, rows=R)
+    base = 0 if row0 is None else row0
+    grow = base + jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+
+    spec = pl.BlockSpec((cap, br, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((br, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((9, br, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+
+    fields = ((state.xl, BIG), (state.yl, BIG), (state.vx, 0.0),
+              (state.vy, 0.0), (state.pid, -1))
+    ins = []
+    for fi, (f, fill) in enumerate(fields):
+        gt = gb = None
+        if field_ghosts is not None:
+            gt, gb = field_ghosts[fi]
+        ins.extend(_views(f, fill, 1, gt, gb))
+    ct = cb = None
+    if count_ghosts is not None:
+        ct, cb = count_ghosts
+    ins.extend(_views(counts, 0.0, 2, ct, cb))
+    ins.append(grow)
+
+    out_shapes = [jax.ShapeDtypeStruct((cap, R, C), jnp.float32)] * 4 + [
+        jax.ShapeDtypeStruct((cap, R, C), jnp.int32)
+    ]
+    xl, yl, vx, vy, pid = pl.pallas_call(
+        functools.partial(_shuffle_kernel, cap=cap, evac_cap=evac_cap,
+                          geom=geom, br=br),
+        grid=(R // br,),
+        in_specs=[spec] * 15 + [cspec] * 5 + [gspec],
+        out_specs=[spec] * 5,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*ins)
+    return SlabState(xl, yl, vx, vy, pid)
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "evac_cap", "interpret"))
 def grid_rebin_pallas(state: SlabState, geom: SlabGeometry, evac_cap: int,
                       interpret: bool = False):
-    cap = geom.capacity
-    R, C = geom.rows_pad, geom.cols_pad
-    br = _pick_row_block(geom)
+    """Single-chip rebin: counts + shuffle + monitors."""
+    counts = rebin_counts_pallas(state, geom, interpret=interpret)
+    new = rebin_shuffle_pallas(state, counts, geom, evac_cap, interpret=interpret)
 
-    ins = []
-    for f, fill in ((state.xl, BIG), (state.yl, BIG), (state.vx, 0.0),
-                    (state.vy, 0.0), (state.pid, -1)):
-        ins.extend(_views(f, fill))
-
-    spec = pl.BlockSpec((cap, br, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_rebin_kernel, cap=cap, evac_cap=evac_cap,
-                               geom=geom, br=br)
-    out_shapes = [jax.ShapeDtypeStruct((cap, R, C), jnp.float32)] * 4 + [
-        jax.ShapeDtypeStruct((cap, R, C), jnp.int32)
-    ]
-    xl, yl, vx, vy, pid = pl.pallas_call(
-        kernel,
-        grid=(R // br,),
-        in_specs=[spec] * 15,
-        out_specs=[spec] * 5,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(*ins)
-    new = SlabState(xl, yl, vx, vy, pid)
-
-    # Monitors via XLA reductions (every kernel-side overflow loses a pid).
+    # Monitors via XLA reductions. Deferred leavers still show a nonzero
+    # direction after the shuffle; any structural loss shows in the count.
     before = (state.pid >= 0).astype(jnp.int32).sum()
-    occupancy_planes = (pid >= 0).astype(jnp.int32)
+    occupancy_planes = (new.pid >= 0).astype(jnp.int32)
     after = occupancy_planes.sum()
     lost = before - after
-    # Residual misplacement (a "far" particle clamped to a 1-bin hop, or a
-    # boundary-clamped coordinate) shows as |dir| > 0 after rebin.
-    inv = jnp.float32(1.0 / geom.bin_size)
-    alive = pid >= 0
-    misx = alive & (jnp.floor(xl * inv) != 0)
-    misy = alive & (jnp.floor(yl * inv) != 0)
-    # Boundary bins legitimately hold xl == bin_size (x == size exactly).
-    edge_ok_x = alive & (xl >= 0) & (xl <= geom.bin_size * (1 + 1e-6))
-    edge_ok_y = alive & (yl >= 0) & (yl <= geom.bin_size * (1 + 1e-6))
-    mis = ((misx & ~edge_ok_x) | (misy & ~edge_ok_y)).astype(jnp.int32).sum()
+    from ppsim_tpu.ops.grid_ops import slab_dirs
+
+    dirx, diry, far, alive2 = slab_dirs(new, geom)
+    deferred = ((alive2 & ((dirx != 0) | (diry != 0))).astype(jnp.int32)).sum()
     occupancy = occupancy_planes.sum(axis=0).max()
     return new, RebinMonitors(
-        occupancy.astype(jnp.int32), (lost + mis).astype(jnp.int32)
+        occupancy.astype(jnp.int32),
+        (lost + far.astype(jnp.int32).sum()).astype(jnp.int32),
+        deferred.astype(jnp.int32),
     )
