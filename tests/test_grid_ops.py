@@ -132,3 +132,38 @@ def test_pallas_rebin_matches_xla(grid_test_config, geom):
     cb, nb = canon(b)
     assert na == nb == cfg.num_parts
     np.testing.assert_array_equal(ca, cb)
+
+
+def test_rebin_defers_instead_of_dropping(grid_test_config, geom):
+    """Overfull destination: entrants beyond the free-slot budget must stay
+    in their source bins (deferred), never vanish (the reference's CUDA
+    engine silently corrupts here, gpu.cu:109-111)."""
+    cfg = grid_test_config
+    cap = geom.capacity
+    # Two adjacent bins: left full with movers-right, right completely full.
+    xl = np.full(geom.shape, grid_ops.BIG if hasattr(grid_ops, "BIG") else 1e9,
+                 dtype=np.float32)
+    from ppsim_tpu.ops.binning import BIG as BIGC
+
+    xl = np.full(geom.shape, BIGC, dtype=np.float32)
+    yl = np.full(geom.shape, BIGC, dtype=np.float32)
+    vx = np.zeros(geom.shape, np.float32)
+    vy = np.zeros(geom.shape, np.float32)
+    pid = np.full(geom.shape, -1, np.int32)
+    r, c = 3, 3
+    for s in range(cap):
+        # left bin residents all drifted one bin to the right (+x row dir)
+        pid[s, r, c] = s
+        xl[s, r, c] = geom.bin_size * 1.25
+        yl[s, r, c] = geom.bin_size * 0.5
+        # right bin full of stayers
+        pid[s, r + 1, c] = cap + s
+        xl[s, r + 1, c] = geom.bin_size * 0.5
+        yl[s, r + 1, c] = geom.bin_size * 0.5
+    state = grid_ops.SlabState(*map(jnp.asarray, (xl, yl, vx, vy, pid)))
+    new, mon = jax.jit(lambda s: grid_ops.grid_rebin(s, geom, cfg.evac_capacity))(state)
+    assert int(mon.dropped) == 0
+    assert int(mon.deferred) == cap  # nobody fits; all wait in place
+    old_pids = np.sort(np.asarray(state.pid)[np.asarray(state.pid) >= 0])
+    new_pids = np.sort(np.asarray(new.pid)[np.asarray(new.pid) >= 0])
+    np.testing.assert_array_equal(old_pids, new_pids)
