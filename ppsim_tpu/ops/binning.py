@@ -89,6 +89,24 @@ def bin_ids_of(pos, geom: GridGeometry):
     return r, c, r * geom.ncols + c
 
 
+def _prefix_max(x):
+    """Inclusive prefix maximum by log-doubling (non-negative int32 input).
+
+    ``jax.lax.associative_scan`` is avoided deliberately: its recursive
+    lowering stalls the TPU compiler outright at multi-million element sizes
+    (observed: never finishes at 4M while an argsort of the same size
+    compiles in under a minute). log2(n) shifted-max passes compile and run
+    fine at any size.
+    """
+    n = x.shape[0]
+    k = 1
+    while k < n:
+        shifted = jnp.concatenate([jnp.zeros((k,), x.dtype), x[:-k]])
+        x = jnp.maximum(x, shifted)
+        k *= 2
+    return x
+
+
 def segment_ranks(sorted_ids):
     """Rank of each element within its run of equal ids (ids must be sorted)."""
     n = sorted_ids.shape[0]
@@ -96,7 +114,7 @@ def segment_ranks(sorted_ids):
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
     )
-    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, 0))
+    seg_start = _prefix_max(jnp.where(is_start, idx, 0))
     return idx - seg_start
 
 

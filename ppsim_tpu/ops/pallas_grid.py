@@ -42,11 +42,9 @@ _VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _pick_row_block(geom: SlabGeometry, nplanes: int, rows: int) -> int:
-    for br in (8, 4, 2, 1):
-        per_plane = br * geom.cols_pad * 4
-        if nplanes * per_plane * 2 <= _VMEM_BUDGET and rows % br == 0:
-            return br
-    return 1
+    # Mosaic requires the block's second-minor dim divisible by 8 (or the
+    # full dimension); the raised vmem_limit_bytes covers the footprint.
+    return 8 if rows % 8 == 0 else rows
 
 
 def row_views(f, fill, halo: int, ghost_top=None, ghost_bot=None):
@@ -147,37 +145,76 @@ def grid_force_pallas(xl, yl, geom: SlabGeometry, cutoff, min_r, mass, interpret
 def _step_kernel(xm_ref, x0_ref, xp_ref, ym_ref, y0_ref, yp_ref,
                  vx_ref, vy_ref, pid_ref, grow_ref,
                  xo_ref, yo_ref, vxo_ref, vyo_ref,
+                 ax_ref, ay_ref,
                  *, cap, cols, geom: SlabGeometry,
                  cutoff, min_r, mass, dt, size):
     """Fused force + Verlet move + wall reflection (one pass per step).
 
     The integrator (reference: serial.cpp:44-61) runs on the accumulated
-    accelerations while they are still in registers, so the move phase costs
-    no extra HBM pass. ``grow_ref`` carries each bin's global row index
-    (shard offset included); ``pid`` is read-only — slots never change
-    outside the rebin shuffle.
+    accelerations while they are still in VMEM, so the move phase costs no
+    extra HBM pass. ``grow_ref`` carries each bin's global row index (shard
+    offset included); ``pid`` is read-only — slots never change outside the
+    rebin shuffle.
+
+    Accelerations accumulate into the ``ax_ref/ay_ref`` VMEM scratch rather
+    than SSA values: Mosaic's allocator keeps every live plane on the kernel
+    stack, and ``4 x capacity`` live accumulator planes blow past the chip's
+    128MB VMEM at wide grids.
     """
     dtf = jnp.float32(dt)
     L = jnp.float32(size)
     bs = jnp.float32(geom.bin_size)
+    c2 = jnp.float32(cutoff * cutoff)
+    mr2 = jnp.float32(min_r * min_r)
+    inv_mass = jnp.float32(1.0 / mass)
     lane = jax.lax.broadcasted_iota(jnp.int32, x0_ref.shape[1:], 1)
     row_off = grow_ref[...].astype(jnp.float32) * bs
     col_off = lane.astype(jnp.float32) * bs
 
-    xs = [x0_ref[s] for s in range(cap)]
-    ys = [y0_ref[s] for s in range(cap)]
-    ax = [jnp.zeros_like(xs[0]) for _ in range(cap)]
-    ay = [jnp.zeros_like(ys[0]) for _ in range(cap)]
+    for s in range(cap):
+        ax_ref[s] = jnp.zeros_like(ax_ref[s])
+        ay_ref[s] = jnp.zeros_like(ay_ref[s])
+
+    # Neighbor slabs via fori_loop with dynamic ref reads: unrolling the
+    # j-loop makes Mosaic's per-value stack exceed VMEM at wide grids
+    # (observed 173MB at 1920 lanes) and inflates compile time.
     for dr, xr, yr in ((-1, xm_ref, ym_ref), (0, x0_ref, y0_ref), (1, xp_ref, yp_ref)):
-        ax, ay = _pair_accum(xs, ys, ax, ay, xr, yr, dr, geom, cap, cols, lane,
-                             cutoff, min_r, mass)
+        offx = jnp.float32(dr * geom.bin_size)
+
+        def j_body(j, _, xr=xr, yr=yr, offx=offx):
+            xj = xr[j]
+            yj = yr[j]
+            for dc in (-1, 0, 1):
+                if dc == 0:
+                    xn, yn = xj, yj
+                else:
+                    sh = (-dc) % cols
+                    xn = pltpu.roll(xj, sh, 1)
+                    yn = pltpu.roll(yj, sh, 1)
+                    bad = (lane == (cols - 1)) if dc == 1 else (lane == 0)
+                    xn = jnp.where(bad, BIG, xn)
+                offy = jnp.float32(dc * geom.bin_size)
+                for s in range(cap):
+                    dx = (xn + offx) - x0_ref[s]
+                    dy = (yn + offy) - y0_ref[s]
+                    r2 = dx * dx + dy * dy
+                    m = r2 <= c2
+                    r2c = jnp.maximum(r2, mr2)
+                    rinv = jax.lax.rsqrt(r2c)
+                    inv2 = rinv * rinv
+                    coef = jnp.where(m, (inv2 - cutoff * rinv * inv2) * inv_mass, 0.0)
+                    ax_ref[s] = ax_ref[s] + coef * dx
+                    ay_ref[s] = ay_ref[s] + coef * dy
+            return 0
+
+        jax.lax.fori_loop(0, cap, j_body, 0)
 
     for s in range(cap):
         alive = pid_ref[s] >= 0
-        vx = jnp.where(alive, vx_ref[s] + ax[s] * dtf, 0.0)
-        vy = jnp.where(alive, vy_ref[s] + ay[s] * dtf, 0.0)
-        xl = xs[s] + vx * dtf
-        yl = ys[s] + vy * dtf
+        vx = jnp.where(alive, vx_ref[s] + ax_ref[s] * dtf, 0.0)
+        vy = jnp.where(alive, vy_ref[s] + ay_ref[s] * dtf, 0.0)
+        xl = x0_ref[s] + vx * dtf
+        yl = y0_ref[s] + vy * dtf
 
         gx = xl + row_off
         out = (gx < 0.0) | (gx > L)
@@ -239,6 +276,10 @@ def grid_step_pallas(xl, yl, vx, vy, pid, geom: SlabGeometry,
         in_specs=[spec] * 6 + [spec] * 3 + [gspec],
         out_specs=[spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((cap, R, C), jnp.float32)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((cap, br, C), jnp.float32),
+            pltpu.VMEM((cap, br, C), jnp.float32),
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
