@@ -110,25 +110,38 @@ def _cell_list_stats(pos: np.ndarray, cutoff: float):
     dcount = 0
     grid_px = px.reshape(ncell, ncell, cap)
     grid_py = py.reshape(ncell, ncell, cap)
-    for dx_ in (-1, 0, 1):
-        for dy_ in (-1, 0, 1):
-            nx = np.full((ncell, ncell, cap), 1e9)
-            ny = np.full((ncell, ncell, cap), 1e9)
-            xs = slice(max(0, -dx_), ncell - max(0, dx_))
-            xd = slice(max(0, dx_), ncell - max(0, -dx_))
-            ys = slice(max(0, -dy_), ncell - max(0, dy_))
-            yd = slice(max(0, dy_), ncell - max(0, -dy_))
-            nx[xd, yd] = grid_px[xs, ys]
-            ny[xd, yd] = grid_py[xs, ys]
-            ddx = nx[:, :, None, :] - grid_px[:, :, :, None]
-            ddy = ny[:, :, None, :] - grid_py[:, :, :, None]
-            d2 = ddx * ddx + ddy * ddy
-            hit = (d2 < cutoff * cutoff) & (d2 > 0.0)
-            if hit.any():
-                d = np.sqrt(d2[hit])
-                dmin = min(dmin, float(d.min()))
-                dsum += float(d.sum())
-                dcount += int(d.size)
+    # Row-band chunking bounds the (cells, cap, cap) pair temporaries to tens
+    # of MB — full-grid temporaries at millions of cells thrash the allocator.
+    band = max(1, int(4e6 // max(1, ncell * cap * cap)))
+    for r0 in range(0, ncell, band):
+        r1 = min(ncell, r0 + band)
+        cx = grid_px[r0:r1]
+        cy = grid_py[r0:r1]
+        for dx_ in (-1, 0, 1):
+            sr0, sr1 = r0 + dx_, r1 + dx_
+            nrows = r1 - r0
+            nx = np.full((nrows, ncell, cap), 1e9)
+            ny = np.full((nrows, ncell, cap), 1e9)
+            vs0, vs1 = max(sr0, 0), min(sr1, ncell)
+            if vs0 < vs1:
+                nx[vs0 - sr0 : vs1 - sr0] = grid_px[vs0:vs1]
+                ny[vs0 - sr0 : vs1 - sr0] = grid_py[vs0:vs1]
+            for dy_ in (-1, 0, 1):
+                mx = np.full_like(nx, 1e9)
+                my = np.full_like(ny, 1e9)
+                ys = slice(max(0, -dy_), ncell - max(0, dy_))
+                yd = slice(max(0, dy_), ncell - max(0, -dy_))
+                mx[:, yd] = nx[:, ys]
+                my[:, yd] = ny[:, ys]
+                ddx = mx[:, :, None, :] - cx[:, :, :, None]
+                ddy = my[:, :, None, :] - cy[:, :, :, None]
+                d2 = ddx * ddx + ddy * ddy
+                hit = (d2 < cutoff * cutoff) & (d2 > 0.0)
+                if hit.any():
+                    d = np.sqrt(d2[hit])
+                    dmin = min(dmin, float(d.min()))
+                    dsum += float(d.sum())
+                    dcount += int(d.size)
     return dmin, dsum, dcount
 
 

@@ -42,6 +42,19 @@ class SimConfig:
     cutoff: float = 0.01
     dt: float = 0.0005
 
+    # ---- force law (plug-in seam; reference isolates apply_force the same
+    # way, part1/serial.cpp:19-36) ----
+    # "repulsive" = the reference's short-range repulsion; "lj" = truncated
+    # Lennard-Jones (supported by oracle/binned/grid engines; the Mosaic
+    # kernels are specialized to the repulsive law).
+    # Stable LJ demo parameters: r_min = 2^(1/6)*sigma ~ 0.0079 (the spacing
+    # the repulsive law maintains) and a well shallow enough for dt <= 1e-4;
+    # the r^-12 wall is far stiffer than the reference law, so LJ runs want
+    # a smaller dt than the repulsive default of 5e-4.
+    force_law: str = "repulsive"
+    lj_epsilon: float = 1.0e-4
+    lj_sigma: float = 0.007
+
     # ---- numerics ----
     # TPU float64 is emulated and slow; f32 is the TPU-native default. The
     # oracle/checker path can run f64 (enable jax_enable_x64) for tight parity.
@@ -71,7 +84,11 @@ class SimConfig:
     # grid_bin_scale^2 * cutoff^2 / density = 5.0; density fluctuations are
     # near-Poisson at this scale, so leave tail room (overflow backpressure
     # defers, never drops — but deferral costs transient force accuracy).
-    grid_capacity: int = 12
+    # Tuning data at 20M x 1000 steps: cap 12 -> 39.2s, clean; cap 11 ->
+    # 34.0s, clean (checker PASS, deferral 0.001%/step); cap 10 -> deferral
+    # cascade into runaway speeds (caught by the monitors). 11 is the sweet
+    # spot; raise it if RunResult.check ever reports drops.
+    grid_capacity: int = 11
     # Rebin cadence in steps. Stale binning stays correct while accumulated
     # drift satisfies rebin_every * max|v| * dt <= (bin_side - cutoff) / 2;
     # monitored at runtime via max_speed.

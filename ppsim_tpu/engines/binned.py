@@ -42,9 +42,12 @@ class BinnedEngine(Engine):
 
     def accel_of(self, pos_sorted, row, col, grid):
         """Force phase; overridden by the Pallas engine with a Mosaic kernel."""
+        from ppsim_tpu.physics import accel_fn_for
+
         cfg = self.config
         return stencil_accel(
-            pos_sorted, row, col, grid.slot_pos, self.geom, cfg.cutoff, cfg.min_r, cfg.mass
+            pos_sorted, row, col, grid.slot_pos, self.geom,
+            cfg.cutoff, cfg.min_r, cfg.mass, pair_fn=accel_fn_for(cfg),
         )
 
     def step_carry(self, carry: Carry) -> Carry:

@@ -52,9 +52,12 @@ class GridEngine(Engine):
         return self.config.grid_capacity
 
     def accel_of(self, xl, yl):
+        from ppsim_tpu.physics import accel_fn_for
+
         cfg = self.config
         return grid_ops.grid_force_xla(
-            xl, yl, self.geom, cfg.cutoff, cfg.min_r, cfg.mass
+            xl, yl, self.geom, cfg.cutoff, cfg.min_r, cfg.mass,
+            pair_fn=accel_fn_for(cfg),
         )
 
     def rebin_of(self, slab):
@@ -170,6 +173,12 @@ class PallasGridEngine(GridEngine):
 
     def __init__(self, config, interpret: bool | None = None):
         super().__init__(config)
+        if config.force_law != "repulsive":
+            raise ValueError(
+                "the Mosaic kernels are specialized to the repulsive law; "
+                "use the 'grid' or 'binned' engine for "
+                f"force_law={config.force_law!r}"
+            )
         self.interpret = (not _on_tpu()) if interpret is None else interpret
 
     def accel_of(self, xl, yl):

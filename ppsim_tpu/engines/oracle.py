@@ -17,14 +17,15 @@ import jax
 import jax.numpy as jnp
 
 from ppsim_tpu.engines.base import Carry, Engine, register_engine
-from ppsim_tpu.physics import accel_from_deltas, verlet_step
+from ppsim_tpu.physics import accel_fn_for, verlet_step
 
 __all__ = ["OracleEngine", "all_pairs_accel"]
 
 
-def all_pairs_accel(pos, cutoff, min_r, mass, block: int = 2048):
+def all_pairs_accel(pos, pair_fn, block: int = 2048):
     """(N, 2) accelerations from the dense all-pairs interaction.
 
+    ``pair_fn(dx, dy) -> (ax, ay)`` is the force law (physics.accel_fn_for).
     Row-blocked so the live pair tensor is (block, N) rather than (N, N).
     """
     n = pos.shape[0]
@@ -36,7 +37,7 @@ def all_pairs_accel(pos, cutoff, min_r, mass, block: int = 2048):
     def one_block(prow):
         dx = pos[None, :, 0] - prow[:, 0:1]
         dy = pos[None, :, 1] - prow[:, 1:2]
-        ax, ay = accel_from_deltas(dx, dy, cutoff, min_r, mass)
+        ax, ay = pair_fn(dx, dy)
         return jnp.stack([ax.sum(-1), ay.sum(-1)], axis=-1)
 
     accel = jax.lax.map(one_block, rows)
@@ -49,7 +50,7 @@ class OracleEngine(Engine):
 
     def step_carry(self, carry: Carry) -> Carry:
         cfg = self.config
-        accel = all_pairs_accel(carry.pos, cfg.cutoff, cfg.min_r, cfg.mass)
+        accel = all_pairs_accel(carry.pos, accel_fn_for(cfg))
         pos, vel = verlet_step(carry.pos, carry.vel, accel, cfg.dt, cfg.size)
         return Carry(pos, vel, carry.pid, carry.monitors)
 

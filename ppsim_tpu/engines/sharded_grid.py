@@ -63,6 +63,12 @@ class ShardedGridEngine(GridEngine):
         interpret: Optional[bool] = None,
     ):
         super().__init__(config)
+        if config.force_law != "repulsive":
+            raise ValueError(
+                "the Mosaic kernels are specialized to the repulsive law; "
+                "use the 'grid' or 'binned' engine for "
+                f"force_law={config.force_law!r}"
+            )
         devices = list(devices) if devices is not None else jax.devices()
         self.mesh = Mesh(np.array(devices), axis_names=("x",))
         self.P = len(devices)

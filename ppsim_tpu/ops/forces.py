@@ -35,6 +35,7 @@ def stencil_accel(
     cutoff: float,
     min_r: float,
     mass: float,
+    pair_fn=None,
 ):
     """Accelerations on query particles from all particles in the 3x3 stencil.
 
@@ -44,6 +45,8 @@ def stencil_accel(
     array. Out-of-grid neighbors are redirected to the void bin. Returns
     (N, 2) accelerations.
     """
+    if pair_fn is None:
+        pair_fn = lambda dx, dy: accel_from_deltas(dx, dy, cutoff, min_r, mass)
     cap = geom.capacity
     n = pos.shape[0]
     x = pos[:, 0:1]
@@ -59,9 +62,7 @@ def stencil_accel(
         nb = jnp.where(valid, nr * geom.ncols + nc, geom.num_bins)
         idx = nb[:, None] * cap + cap_iota  # (N, cap)
         npos = slot_pos[idx]  # (N, cap, 2) gather
-        dax, day = accel_from_deltas(
-            npos[..., 0] - x, npos[..., 1] - y, cutoff, min_r, mass
-        )
+        dax, day = pair_fn(npos[..., 0] - x, npos[..., 1] - y)
         ax = ax + dax.sum(axis=1)
         ay = ay + day.sum(axis=1)
     return jnp.stack([ax, ay], axis=-1)

@@ -191,8 +191,12 @@ def pair_coef(dx, dy, cutoff: float, min_r: float, mass: float):
     return jnp.where(m, (inv2 - cutoff * rinv * inv2) * (1.0 / mass), 0.0)
 
 
-def grid_force_xla(xl, yl, geom: SlabGeometry, cutoff, min_r, mass):
+def grid_force_xla(xl, yl, geom: SlabGeometry, cutoff, min_r, mass, pair_fn=None):
     """XLA reference implementation of the slab stencil force (CPU/tests)."""
+    if pair_fn is None:
+        def pair_fn(dx, dy):
+            coef = pair_coef(dx, dy, cutoff, min_r, mass)
+            return coef * dx, coef * dy
     cap = geom.capacity
     bs = geom.bin_size
     ax = jnp.zeros_like(xl)
@@ -209,8 +213,8 @@ def grid_force_xla(xl, yl, geom: SlabGeometry, cutoff, min_r, mass):
             yn = jax.lax.dynamic_index_in_dim(yn_all, j, 0, keepdims=True)
             dx = (xn + offx) - xl
             dy = (yn + offy) - yl
-            coef = pair_coef(dx, dy, cutoff, min_r, mass)
-            return ax + coef * dx, ay + coef * dy
+            dax, day = pair_fn(dx, dy)
+            return ax + dax, ay + day
 
         ax, ay = jax.lax.fori_loop(0, cap, body, (ax, ay))
     return ax, ay

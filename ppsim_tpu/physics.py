@@ -25,7 +25,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pair_accel", "accel_from_deltas", "verlet_step", "reflect_walls"]
+__all__ = [
+    "pair_accel",
+    "accel_from_deltas",
+    "lj_accel_from_deltas",
+    "accel_fn_for",
+    "verlet_step",
+    "reflect_walls",
+]
 
 
 def accel_from_deltas(dx, dy, cutoff: float, min_r: float, mass: float):
@@ -50,6 +57,51 @@ def accel_from_deltas(dx, dy, cutoff: float, min_r: float, mass: float):
     coef = (1.0 - cutoff / r) / r2c / mass
     coef = jnp.where(in_range, coef, jnp.zeros_like(coef))
     return coef * dx, coef * dy
+
+
+def lj_accel_from_deltas(dx, dy, cutoff: float, min_r: float, mass: float,
+                         epsilon: float, sigma: float):
+    """Truncated Lennard-Jones acceleration contribution (plug-in force law).
+
+    The reference isolates its force law in one function (apply_force,
+    part1/serial.cpp:19-36); this is the same seam exercised with a different
+    potential: V = 4 eps [ (sigma/r)^12 - (sigma/r)^6 ], truncated at
+    ``cutoff``, with the same ``min_r`` distance clamp. With
+    ``dx = x_j - x_i``, acceleration += coef * dx where
+    coef = -24 eps (2 (sigma/r)^12 - (sigma/r)^6) / r^2 / mass
+    (repulsive inside r_min = 2^(1/6) sigma, attractive outside).
+    """
+    dtype = jnp.result_type(dx)
+    cutoff = jnp.asarray(cutoff, dtype)
+    min_r2 = jnp.asarray(min_r * min_r, dtype)
+
+    r2 = dx * dx + dy * dy
+    in_range = r2 <= cutoff * cutoff
+    r2c = jnp.maximum(r2, min_r2)
+    s2 = jnp.asarray(sigma * sigma, dtype) / r2c
+    s6 = s2 * s2 * s2
+    coef = -24.0 * epsilon * (2.0 * s6 * s6 - s6) / r2c / mass
+    coef = jnp.where(in_range, coef, jnp.zeros_like(coef))
+    return coef * dx, coef * dy
+
+
+def accel_fn_for(config):
+    """Pair-acceleration closure ``(dx, dy) -> (ax, ay)`` for a config.
+
+    The engine-side force-law seam: engines call this instead of hard-wiring
+    the repulsive law, so alternative potentials (the Lennard-Jones stretch
+    variant) plug in without touching engine code.
+    """
+    if config.force_law == "repulsive":
+        return lambda dx, dy: accel_from_deltas(
+            dx, dy, config.cutoff, config.min_r, config.mass
+        )
+    if config.force_law == "lj":
+        return lambda dx, dy: lj_accel_from_deltas(
+            dx, dy, config.cutoff, config.min_r, config.mass,
+            config.lj_epsilon, config.lj_sigma,
+        )
+    raise ValueError(f"unknown force_law {config.force_law!r}")
 
 
 def pair_accel(pos_i, pos_j, cutoff: float, min_r: float, mass: float):

@@ -82,32 +82,32 @@ def phase_times(engine, state: ParticleState, steps: int = 50) -> Dict[str, floa
     carry = engine.init_carry(state)
     t_full = timeit_scan(engine.step_carry, carry, 10, 10 + steps)
 
-    real_accel = engine.accel_of
-    engine.accel_of = lambda xl, yl: (jnp.zeros_like(xl), jnp.zeros_like(yl))
+    # variant: no forces/move (the whole fused phase disabled)
+    real_move = engine.move_phase
+    engine.move_phase = lambda slab: (slab, jnp.zeros((), jnp.float32))
     try:
-        t_noforce = timeit_scan(engine.step_carry, carry, 10, 10 + steps)
+        t_nomove = timeit_scan(engine.step_carry, carry, 10, 10 + steps)
     finally:
-        engine.accel_of = real_accel
+        engine.move_phase = real_move
 
+    # variant: no rebin
     real_rebin = engine.rebin_of
     from ppsim_tpu.ops.grid_ops import RebinMonitors
 
-    engine.rebin_of = lambda s: (
-        s,
-        RebinMonitors(jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
-    )
+    z = jnp.zeros((), jnp.int32)
+    engine.rebin_of = lambda s: (s, RebinMonitors(z, z, z))
     try:
         t_norebin = timeit_scan(engine.step_carry, carry, 10, 10 + steps)
     finally:
         engine.rebin_of = real_rebin
 
-    force = max(t_full - t_noforce, 0.0)
+    force_move = max(t_full - t_nomove, 0.0)
     rebin = max(t_full - t_norebin, 0.0)
     return {
         "step": t_full,
-        "force": force,
+        "force+move": force_move,
         "rebin": rebin,
-        "move+overhead": max(t_full - force - rebin, 0.0),
+        "overhead": max(t_full - force_move - rebin, 0.0),
     }
 
 
