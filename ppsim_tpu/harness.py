@@ -74,18 +74,20 @@ def timed_run(engine, state: ParticleState, nsteps: int, savefreq: int):
     warm_carry = engine.init_carry(state)
     program = engine._program(nsteps, savefreq)
     compiled = program.lower(warm_carry).compile()
-    # Pre-compile the final-state extraction too, and force one real
-    # device->host sync (block_until_ready alone is not a reliable fence on
-    # relayed TPU platforms).
+    # Warm EVERY op the timed region will run, including the scalar sync
+    # probe: even an eager ``pos[0]`` slice triggers a fresh (remote) compile
+    # worth tens of seconds the first time it runs on a relayed TPU.
+    probe = jax.jit(lambda st: st.pos.ravel()[0])
     warm_out, _ = compiled(warm_carry)
-    np.asarray(engine.final_state_jit(warm_out).pos)
+    np.asarray(probe(engine.final_state_jit(warm_out)))
 
     t0 = time.perf_counter()
     carry = engine.init_carry(state)
     carry, frames = compiled(carry)
     final = engine.final_state_jit(carry)
-    # Real sync: fetch one scalar through the device->host path.
-    np.asarray(final.pos[0])
+    # Real sync: fetch one scalar through the device->host path
+    # (block_until_ready is not a reliable fence on relayed platforms).
+    np.asarray(probe(final))
     seconds = time.perf_counter() - t0
 
     monitors = jax.tree.map(np.asarray, engine.monitors_of(carry))
