@@ -17,7 +17,8 @@ Layer map (TPU-native analog of the reference's architecture):
 - :mod:`ppsim_tpu.engines`  — interchangeable engines behind one protocol
   (reference: the L1 seam ``init_simulation``/``simulate_one_step``,
   part1/common.h:24-25, with 5 backend .cpp/.cu implementations).
-- :mod:`ppsim_tpu.parallel` — shard_map spatial decomposition + halo exchange
+- :mod:`ppsim_tpu.engines.sharded` / :mod:`ppsim_tpu.engines.sharded_grid` —
+  shard_map spatial decomposition + ppermute halo exchange
   (reference: part2/mpi.cpp MPI row strips + ghost rows).
 - :mod:`ppsim_tpu.ops`      — Pallas TPU kernels for the hot ops
   (reference: part3/gpu.cu CUDA kernels).

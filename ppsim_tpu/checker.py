@@ -36,13 +36,15 @@ class CheckResult(NamedTuple):
     absavg: float  # mean interacting-pair distance across all frames
     passed: bool
     cutoff: float
+    oob: int = 0  # positions outside the box (explosion/corruption signature)
 
     def __str__(self) -> str:
         status = "PASS" if self.passed else "FAIL"
+        extra = f", oob={self.oob}" if self.oob else ""
         return (
             f"{status}: absmin={self.absmin:.6g} ({self.absmin / self.cutoff:.2f} cutoff, "
             f"band >{ABSMIN_BAND}), absavg={self.absavg:.6g} "
-            f"({self.absavg / self.cutoff:.2f} cutoff, band >{ABSAVG_BAND})"
+            f"({self.absavg / self.cutoff:.2f} cutoff, band >{ABSAVG_BAND}){extra}"
         )
 
 
@@ -102,8 +104,10 @@ def _cell_list_stats(pos: np.ndarray, cutoff: float):
     slot = np.arange(n) - starts[sorted_cid]
     table = np.full((ncell * ncell, cap), -1, dtype=np.int64)
     table[sorted_cid, slot] = np.arange(n)
-    px = np.where(table >= 0, spos[table.clip(0), 0], 1e9)
-    py = np.where(table >= 0, spos[table.clip(0), 1], 1e9)
+    valid = table >= 0
+    px = np.where(valid, spos[table.clip(0), 0], 1e9)
+    py = np.where(valid, spos[table.clip(0), 1], 1e9)
+    grid_valid = valid.reshape(ncell, ncell, cap)
 
     dmin = np.inf
     dsum = 0.0
@@ -136,6 +140,21 @@ def _cell_list_stats(pos: np.ndarray, cutoff: float):
                 ddx = mx[:, :, None, :] - cx[:, :, :, None]
                 ddy = my[:, :, None, :] - cy[:, :, :, None]
                 d2 = ddx * ddx + ddy * ddy
+                # d2 == 0 is either a self-pair, padding-vs-padding, or two
+                # EXACTLY coincident particles (the signature of a duplication
+                # / scatter bug). Exact duplicates share a cell, so they only
+                # occur in the same-cell pairing: count valid off-slot-
+                # diagonal zeros there and report them as distance-0 pairs,
+                # exactly as the brute-force path (which masks only the true
+                # self-diagonal) would.
+                if dx_ == 0 and dy_ == 0:
+                    vv = grid_valid[r0:r1]
+                    pair_valid = vv[:, :, None, :] & vv[:, :, :, None]
+                    dup = (d2 == 0.0) & pair_valid & ~np.eye(cap, dtype=bool)
+                    ndup = int(dup.sum())
+                    if ndup:
+                        dmin = 0.0
+                        dcount += ndup  # each contributes distance 0 to dsum
                 hit = (d2 < cutoff * cutoff) & (d2 > 0.0)
                 if hit.any():
                     d = np.sqrt(d2[hit])
@@ -150,14 +169,28 @@ def check_frames(frames: np.ndarray, config: SimConfig) -> CheckResult:
     absmin = np.inf
     total = 0.0
     count = 0
+    oob = 0
+    # Wall reflection keeps every position in [0, size]; anything outside is
+    # corruption (an exploded run also empties the interacting-pair set, which
+    # would otherwise sail through the lower bands with absmin = inf).
+    lo, hi = -1e-9, config.size + 1e-9
     for frame in frames:
+        f = np.asarray(frame)
+        oob += int(((f < lo) | (f > hi)).sum())
         m, s, c = frame_distance_stats(frame, cutoff)
         absmin = min(absmin, m)
         total += s
         count += c
     absavg = total / count if count else np.inf
     passed = absmin > ABSMIN_BAND * cutoff and absavg > ABSAVG_BAND * cutoff
-    return CheckResult(float(absmin), float(absavg), bool(passed), cutoff)
+    # A dense run (mean interacting neighbors ~ pi*cutoff^2*density_n >= 1 at
+    # the reference density for n >= ~650) with zero interacting pairs means
+    # the dynamics blew apart, not that everything is "far enough".
+    if count == 0 and config.num_parts >= 1000:
+        passed = False
+    if oob:
+        passed = False
+    return CheckResult(float(absmin), float(absavg), bool(passed), cutoff, oob)
 
 
 def check_trajectory(path: str, config: SimConfig) -> CheckResult:

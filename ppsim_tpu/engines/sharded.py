@@ -18,8 +18,13 @@ TPU-native rebuild of the reference's MPI engine (part2/mpi.cpp):
   fixed-capacity buffers by a cumsum scatter, ppermuted one hop, and merged
   into the receiver's free particle slots. Jumps of more than one strip per
   step are impossible at sane velocities (the reference assumes the same,
-  write-up p.3); they are clamped to one hop and counted, converging over
-  subsequent steps instead of corrupting.
+  write-up p.3); they are clamped to one hop per step and converge over
+  subsequent steps instead of corrupting. While in transit across an
+  intermediate strip a particle is kept OUT of that strip's bin grid (it
+  exerts and feels no force for that step — transiently stale, like the grid
+  engines' deferral) and is counted in the non-fatal ``deferred`` monitor.
+  Only true losses — transfer-buffer or slot-pool overflow — count into the
+  fatal ``migrate_dropped``.
 - no explicit barriers: SPMD program order replaces the reference's three
   ``MPI_Barrier``s per step (:308,358,364).
 - id-keyed gather for saves (reference: ``gather_for_save`` :371-402) is a
@@ -86,7 +91,12 @@ class ShardedEngine(Engine):
             capacity=config.bin_capacity,
             bin_size=config.bin_size,
         )
-        n_cap = int(math.ceil(config.num_parts / self.P * config.shard_slack))
+        # Particles occupy only ceil(R / rows_per_shard) strips: with
+        # rows_per_shard = ceil(R / P), trailing devices can own zero physical
+        # rows, so sizing the pool by num_parts / P undercounts the load on
+        # the occupied strips.
+        occupied = max(1, -(-self.global_rows // self.rows_per_shard))
+        n_cap = int(math.ceil(config.num_parts / occupied * config.shard_slack))
         self.n_cap = max(8, -(-n_cap // 8) * 8)
         mc = config.migrate_capacity
         self.m_cap = int(mc) if mc else max(64, C * config.bin_capacity // 2)
@@ -96,8 +106,8 @@ class ShardedEngine(Engine):
         self._shard_step = jax.shard_map(
             self._local_step,
             mesh=self.mesh,
-            in_specs=(P("x", None), P("x", None), P("x"), P(), P()),
-            out_specs=(P("x", None), P("x", None), P("x"), P(), P()),
+            in_specs=(P("x", None), P("x", None), P("x"), P(), P(), P()),
+            out_specs=(P("x", None), P("x", None), P("x"), P(), P(), P()),
         )
 
     # ------------------------------------------------------------------ init
@@ -148,7 +158,7 @@ class ShardedEngine(Engine):
         is_edge = jax.lax.axis_index("x") == 0
         return jnp.where(is_edge, fill, out)
 
-    def _local_step(self, pos, vel, pid, max_bin, dropped):
+    def _local_step(self, pos, vel, pid, max_bin, dropped, deferred):
         cfg = self.config
         geom = self.local_geom
         C = self.ncols
@@ -164,8 +174,13 @@ class ShardedEngine(Engine):
         r_loc = r_g - row0  # owned particles have 0 <= r_loc < Rl
         in_strip = alive & (r_loc >= 0) & (r_loc < Rl)
         lrow = jnp.where(in_strip, r_loc + 1, -1000)  # +1 ghost offset
-        void = geom.num_bins
-        bin_id = jnp.where(in_strip, lrow * C + col, void)
+        # Out-of-strip slots (empties AND alive mid-transit far movers) go to
+        # the synthetic bin PAST the void bin: build_grid maps its slots out
+        # of range, so their real positions never reach the grid. Scattering
+        # them into the void bin instead would plant phantom neighbors where
+        # the stencil's out-of-bounds redirect expects the BIG sentinel.
+        transit = geom.num_bins + 1
+        bin_id = jnp.where(in_strip, lrow * C + col, transit)
 
         # Sort by bin: contiguity for the grid scatter AND compaction of
         # empties (void sorts last).
@@ -260,19 +275,24 @@ class ShardedEngine(Engine):
         pool_over = jnp.maximum(n_in - n_empty, 0)
 
         # --- monitors (replicated) ----------------------------------------
-        step_drop = (over_up + over_dn + pool_over + far.sum()).astype(jnp.int32)
+        # Far movers (>1 strip) are NOT losses: they hop one strip per step
+        # and converge. Count them as deferred (non-fatal, self-healing);
+        # only buffer/pool overflow is an actual drop (fatal).
+        step_drop = (over_up + over_dn + pool_over).astype(jnp.int32)
         max_bin = jnp.maximum(max_bin, jax.lax.pmax(grid.max_count, "x"))
         dropped = dropped + jax.lax.psum(step_drop, "x")
-        return pos, vel, pid, max_bin, dropped
+        deferred = deferred + jax.lax.psum(far.sum().astype(jnp.int32), "x")
+        return pos, vel, pid, max_bin, dropped, deferred
 
     # ----------------------------------------------------------- driver API
     def step_carry(self, carry: ShardCarry) -> ShardCarry:
-        pos, vel, pid, max_bin, dropped = self._shard_step(
+        pos, vel, pid, max_bin, dropped, deferred = self._shard_step(
             carry.pos, carry.vel, carry.pid,
             carry.monitors.max_bin_count, carry.monitors.migrate_dropped,
+            carry.monitors.deferred,
         )
         return ShardCarry(
-            pos, vel, pid, Monitors(max_bin, dropped, carry.monitors.max_speed, carry.monitors.deferred)
+            pos, vel, pid, Monitors(max_bin, dropped, carry.monitors.max_speed, deferred)
         )
 
     def _id_scatter(self, pid, values, n):

@@ -31,7 +31,7 @@ from ppsim_tpu.initlib import init_particles
 from ppsim_tpu.io import MetricsWriter, load_checkpoint, save_checkpoint, write_trajectory
 from ppsim_tpu.state import ParticleState
 
-__all__ = ["main", "timed_run", "build_parser"]
+__all__ = ["main", "timed_run", "timed_run_repeats", "build_parser"]
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -45,7 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-s", type=int, default=0, help="set particle initialization seed")
     # Framework extensions
     p.add_argument("--engine", default="binned",
-                   help="oracle | binned | pallas | sharded (default binned)")
+                   help="oracle | binned | grid | pallas | sharded | "
+                        "sharded_grid (default binned)")
     p.add_argument("--steps", type=int, default=None, help="override nsteps (default 1000)")
     p.add_argument("--savefreq", type=int, default=None, help="override savefreq (default 10)")
     p.add_argument("--dtype", default="float32", help="float32 | float64")
@@ -67,10 +68,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def timed_run(engine, state: ParticleState, nsteps: int, savefreq: int):
-    """AOT-compile the run program, then execute under the reference's timing
-    contract: engine setup (init_carry, the init_simulation analog) + all
-    steps inside the timer; compilation and particle init outside it."""
+def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
+                      repeats: int = 3):
+    """AOT-compile the run program once, then execute the timed region
+    ``repeats`` times under the reference's timing contract: engine setup
+    (init_carry, the init_simulation analog) + all steps inside the timer;
+    compilation and particle init outside it (part1/main.cpp:118-143 — the
+    C++ builds are AOT-compiled too).
+
+    Returns ``(RunResult, [seconds, ...])``. Repeats exist because a relayed
+    TPU shares the wire with other tenants: single-shot timings vary several-
+    fold under contention, so benchmarks report best-of-N plus the spread.
+    """
     warm_carry = engine.init_carry(state)
     program = engine._program(nsteps, savefreq)
     compiled = program.lower(warm_carry).compile()
@@ -81,24 +90,34 @@ def timed_run(engine, state: ParticleState, nsteps: int, savefreq: int):
     warm_out, _ = compiled(warm_carry)
     np.asarray(probe(engine.final_state_jit(warm_out)))
 
-    t0 = time.perf_counter()
-    carry = engine.init_carry(state)
-    carry, frames = compiled(carry)
-    final = engine.final_state_jit(carry)
-    # Real sync: fetch one scalar through the device->host path
-    # (block_until_ready is not a reliable fence on relayed platforms).
-    np.asarray(probe(final))
-    seconds = time.perf_counter() - t0
+    times = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        carry = engine.init_carry(state)
+        carry, frames = compiled(carry)
+        final = engine.final_state_jit(carry)
+        # Real sync: fetch one scalar through the device->host path
+        # (block_until_ready is not a reliable fence on relayed platforms).
+        np.asarray(probe(final))
+        times.append(time.perf_counter() - t0)
 
     monitors = jax.tree.map(np.asarray, engine.monitors_of(carry))
     frames_np = np.asarray(frames) if frames is not None else None
     from ppsim_tpu.engines.base import RunResult
 
-    return RunResult(final, frames_np, monitors), seconds
+    return RunResult(final, frames_np, monitors), times
+
+
+def timed_run(engine, state: ParticleState, nsteps: int, savefreq: int):
+    """Single-shot :func:`timed_run_repeats` (CLI path: the reference times
+    exactly one run, part1/main.cpp:118-143)."""
+    result, times = timed_run_repeats(engine, state, nsteps, savefreq, repeats=1)
+    return result, times[0]
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
 
     if args.cpu_mesh:
         from ppsim_tpu.testing import force_cpu_devices
@@ -114,6 +133,12 @@ def main(argv=None) -> int:
     nsteps = args.steps if args.steps is not None else config.nsteps
     # Reference cadence: saving happens only when an output file is requested.
     savefreq = args.savefreq if args.savefreq is not None else config.savefreq
+    if (args.o or args.check) and savefreq <= 0:
+        parser.error(
+            "-o/--check need saved frames: --savefreq must be >= 1 "
+            f"(got {savefreq}); drop --savefreq to use the default "
+            f"({config.savefreq})"
+        )
     effective_savefreq = savefreq if (args.o or args.check) else 0
 
     start_step = 0

@@ -61,11 +61,20 @@ def row_views(f, fill, halo: int, ghost_top=None, ghost_bot=None):
 
 def _pair_accum(xs, ys, ax, ay, xr_ref, yr_ref, dr, geom, cap, cols, lane,
                 cutoff, min_r, mass):
-    """Accumulate one neighbor-row's 3-column stencil contributions."""
+    """Accumulate one neighbor-row's 3-column stencil contributions.
+
+    Op-count discipline (this loop body runs 9*cap^2 times per bin, so every
+    plane op counts): neighbor offsets are hoisted out of the self-slot loop,
+    the edge-lane masks out of the j loop, and the coefficient is factored as
+    u - cutoff*(rinv*u) with u = inv2/mass — two multiplies and an FMA past
+    the rsqrt, instead of the naive four-op chain.
+    """
     c2 = jnp.float32(cutoff * cutoff)
     mr2 = jnp.float32(min_r * min_r)
     inv_mass = jnp.float32(1.0 / mass)
+    cut = jnp.float32(cutoff)
     offx = jnp.float32(dr * geom.bin_size)
+    bad_of = {1: lane == (cols - 1), -1: lane == 0}
     for j in range(cap):
         xj = xr_ref[j]
         yj = yr_ref[j]
@@ -76,18 +85,17 @@ def _pair_accum(xs, ys, ax, ay, xr_ref, yr_ref, dr, geom, cap, cols, lane,
                 sh = (-dc) % cols
                 xn = pltpu.roll(xj, sh, 1)
                 yn = pltpu.roll(yj, sh, 1)
-                bad = (lane == (cols - 1)) if dc == 1 else (lane == 0)
-                xn = jnp.where(bad, BIG, xn)
-            offy = jnp.float32(dc * geom.bin_size)
+                xn = jnp.where(bad_of[dc], BIG, xn)
+            xno = xn if dr == 0 else xn + offx
+            yno = yn if dc == 0 else yn + jnp.float32(dc * geom.bin_size)
             for s in range(cap):
-                dx = (xn + offx) - xs[s]
-                dy = (yn + offy) - ys[s]
+                dx = xno - xs[s]
+                dy = yno - ys[s]
                 r2 = dx * dx + dy * dy
-                m = r2 <= c2
                 r2c = jnp.maximum(r2, mr2)
                 rinv = jax.lax.rsqrt(r2c)
-                inv2 = rinv * rinv
-                coef = jnp.where(m, (inv2 - cutoff * rinv * inv2) * inv_mass, 0.0)
+                u = inv_mass * (rinv * rinv)
+                coef = jnp.where(r2 <= c2, u - cut * (rinv * u), 0.0)
                 ax[s] = ax[s] + coef * dx
                 ay[s] = ay[s] + coef * dy
     return ax, ay
@@ -178,10 +186,15 @@ def _step_kernel(xm_ref, x0_ref, xp_ref, ym_ref, y0_ref, yp_ref,
     # Neighbor slabs via fori_loop with dynamic ref reads: unrolling the
     # j-loop makes Mosaic's per-value stack exceed VMEM at wide grids
     # (observed 173MB at 1920 lanes) and inflates compile time.
+    # Same op-count discipline as _pair_accum: offsets hoisted out of the
+    # self-slot loop, edge masks out of the j loop, coefficient factored as
+    # u - cutoff*(rinv*u) — this body runs 9*cap^2 times per bin.
+    cut = jnp.float32(cutoff)
+    bad_of = {1: lane == (cols - 1), -1: lane == 0}
     for dr, xr, yr in ((-1, xm_ref, ym_ref), (0, x0_ref, y0_ref), (1, xp_ref, yp_ref)):
         offx = jnp.float32(dr * geom.bin_size)
 
-        def j_body(j, _, xr=xr, yr=yr, offx=offx):
+        def j_body(j, _, xr=xr, yr=yr, offx=offx, dr=dr):
             xj = xr[j]
             yj = yr[j]
             for dc in (-1, 0, 1):
@@ -191,18 +204,17 @@ def _step_kernel(xm_ref, x0_ref, xp_ref, ym_ref, y0_ref, yp_ref,
                     sh = (-dc) % cols
                     xn = pltpu.roll(xj, sh, 1)
                     yn = pltpu.roll(yj, sh, 1)
-                    bad = (lane == (cols - 1)) if dc == 1 else (lane == 0)
-                    xn = jnp.where(bad, BIG, xn)
-                offy = jnp.float32(dc * geom.bin_size)
+                    xn = jnp.where(bad_of[dc], BIG, xn)
+                xno = xn if dr == 0 else xn + offx
+                yno = yn if dc == 0 else yn + jnp.float32(dc * geom.bin_size)
                 for s in range(cap):
-                    dx = (xn + offx) - x0_ref[s]
-                    dy = (yn + offy) - y0_ref[s]
+                    dx = xno - x0_ref[s]
+                    dy = yno - y0_ref[s]
                     r2 = dx * dx + dy * dy
-                    m = r2 <= c2
                     r2c = jnp.maximum(r2, mr2)
                     rinv = jax.lax.rsqrt(r2c)
-                    inv2 = rinv * rinv
-                    coef = jnp.where(m, (inv2 - cutoff * rinv * inv2) * inv_mass, 0.0)
+                    u = inv_mass * (rinv * rinv)
+                    coef = jnp.where(r2 <= c2, u - cut * (rinv * u), 0.0)
                     ax_ref[s] = ax_ref[s] + coef * dx
                     ay_ref[s] = ay_ref[s] + coef * dy
             return 0

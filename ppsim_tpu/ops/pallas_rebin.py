@@ -57,10 +57,13 @@ def _dirs_of(xl, yl, grow, gcol, geom: SlabGeometry, alive):
     inv = jnp.float32(1.0 / geom.bin_size)
     dirx = jnp.clip(jnp.floor(xl * inv).astype(jnp.int32), -1, 1)
     diry = jnp.clip(jnp.floor(yl * inv).astype(jnp.int32), -1, 1)
-    dirx = jnp.where(alive, dirx, 0)
-    diry = jnp.where(alive, diry, 0)
+    # Clamp first, THEN zero dead slots — same order as grid_ops.slab_dirs,
+    # so dead slots are exactly 0 even in padded rows/cols (where the clamp
+    # bounds can be negative).
     dirx = jnp.clip(dirx, -jnp.minimum(grow, 1), jnp.minimum(geom.rows - 1 - grow, 1))
     diry = jnp.clip(diry, -jnp.minimum(gcol, 1), jnp.minimum(geom.cols - 1 - gcol, 1))
+    dirx = jnp.where(alive, dirx, 0)
+    diry = jnp.where(alive, diry, 0)
     return dirx, diry
 
 
