@@ -8,11 +8,14 @@
 - ``--weak``    : weak scaling at fixed n/device (part1/weak-scale:10-22)
 
 Each run appends a JSONL record (the structured analog of the reference's
-stdout summary line) to ``--out``; plot with bench/plot.py.
+stdout summary line) to ``--out``; plot with bench/plot.py. Timing is
+best-of-``--repeats`` on one compiled program (see bench.py: single-shot
+timings through the shared relay are unstable).
 
-Device-count scaling uses the sharded engine over a CPU mesh
-(``--cpu-mesh``) when no multi-chip TPU is attached — the srun-free testing
-story — or over real TPU devices when present.
+Device-count scaling uses the selected engine (default: the flagship
+``sharded_grid``) over a CPU mesh (``--cpu-mesh``) when no multi-chip TPU is
+attached — the srun-free testing story — or over real TPU devices when
+present.
 """
 
 from __future__ import annotations
@@ -26,47 +29,67 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42):
+def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
+            repeats: int = 1, config_kw=None):
     import jax
 
     from ppsim_tpu.config import SimConfig
     from ppsim_tpu.engines import get_engine
-    from ppsim_tpu.engines.sharded import ShardedEngine
-    from ppsim_tpu.harness import timed_run
+    from ppsim_tpu.harness import timed_run_repeats
     from ppsim_tpu.initlib import init_particles
 
-    config = SimConfig(num_parts=n)
+    config = SimConfig(num_parts=n, **(config_kw or {}))
     state = init_particles(config, seed=seed, method="fast")
-    if engine_name == "sharded" and devices is not None:
-        engine = ShardedEngine(config, devices=jax.devices()[:devices])
+    if devices is not None and engine_name in ("sharded", "sharded_grid"):
+        from ppsim_tpu.engines.sharded import ShardedEngine
+        from ppsim_tpu.engines.sharded_grid import ShardedGridEngine
+
+        cls = {"sharded": ShardedEngine, "sharded_grid": ShardedGridEngine}[
+            engine_name
+        ]
+        engine = cls(config, devices=jax.devices()[:devices])
     else:
         engine = get_engine(engine_name, config)
-    result, seconds = timed_run(engine, state, steps, 0)
+    result, times = timed_run_repeats(engine, state, steps, 0, repeats=repeats)
     engine.check(result)
+    best = min(times)
     return {
         "engine": engine_name,
         "num_parts": n,
         "nsteps": steps,
         "num_devices": devices or 1,
-        "seconds": seconds,
-        "particle_steps_per_sec": n * steps / seconds,
+        "seconds": best,
+        "times": [round(t, 4) for t in times],
+        "particle_steps_per_sec": n * steps / best,
+        "max_bin_count": int(result.monitors.max_bin_count),
+        "deferred": int(result.monitors.deferred),
+        "platform": jax.devices()[0].platform,
+        "config": dict(config_kw or {}),
         "ts": time.time(),
     }
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--engine", default="pallas")
+    ap.add_argument("--engine", default=None,
+                    help="engine to sweep (default: pallas for --sizes, "
+                         "sharded_grid for --strong/--weak)")
     ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("--out", default="bench/results.jsonl")
     ap.add_argument("--sizes", type=str, default=None,
                     help="comma list of n, e.g. 1000,4000,...  (default: the "
                          "reference's GPU sweep 1k..16.384M)")
     ap.add_argument("--strong", type=int, default=None, metavar="N",
-                    help="strong scaling at n=N over 1,2,4,8 devices (sharded)")
+                    help="strong scaling at n=N over 1,2,4,8 devices")
     ap.add_argument("--weak", type=int, default=None, metavar="N_PER_DEV",
                     help="weak scaling at N_PER_DEV per device over 1,2,4,8")
+    ap.add_argument("--devices", type=str, default="1,2,4,8",
+                    help="device counts for --strong/--weak")
     ap.add_argument("--cpu-mesh", type=int, default=0)
+    ap.add_argument("--grid-bin-scale", type=float, default=None)
+    ap.add_argument("--grid-capacity", type=int, default=None)
+    ap.add_argument("--rebin-every", type=int, default=None)
     args = ap.parse_args(argv)
 
     if args.cpu_mesh:
@@ -74,18 +97,35 @@ def main(argv=None) -> int:
 
         force_cpu_devices(args.cpu_mesh)
 
+    config_kw = {
+        k: v
+        for k, v in (
+            ("grid_bin_scale", args.grid_bin_scale),
+            ("grid_capacity", args.grid_capacity),
+            ("rebin_every", args.rebin_every),
+        )
+        if v is not None
+    }
+    dev_counts = [int(d) for d in args.devices.split(",")]
+
     records = []
+
+    def emit(rec):
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
     if args.strong:
-        for d in (1, 2, 4, 8):
-            records.append(run_one("sharded", args.strong, args.steps, devices=d))
-            print(json.dumps(records[-1]), flush=True)
+        engine = args.engine or "sharded_grid"
+        for d in dev_counts:
+            emit(run_one(engine, args.strong, args.steps, devices=d,
+                         repeats=args.repeats, config_kw=config_kw))
     elif args.weak:
-        for d in (1, 2, 4, 8):
-            records.append(
-                run_one("sharded", args.weak * d, args.steps, devices=d)
-            )
-            print(json.dumps(records[-1]), flush=True)
+        engine = args.engine or "sharded_grid"
+        for d in dev_counts:
+            emit(run_one(engine, args.weak * d, args.steps, devices=d,
+                         repeats=args.repeats, config_kw=config_kw))
     else:
+        engine = args.engine or "pallas"
         if args.sizes:
             sizes = [int(s) for s in args.sizes.split(",")]
         else:
@@ -93,8 +133,8 @@ def main(argv=None) -> int:
             # omitted by default to keep runtime sane.
             sizes = [1000 * 4**k for k in range(6)]
         for n in sizes:
-            records.append(run_one(args.engine, n, args.steps))
-            print(json.dumps(records[-1]), flush=True)
+            emit(run_one(engine, n, args.steps, repeats=args.repeats,
+                         config_kw=config_kw))
 
     with open(args.out, "a") as f:
         for r in records:

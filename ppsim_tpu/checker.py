@@ -56,17 +56,18 @@ def frame_distance_stats(pos: np.ndarray, cutoff: float, cell_block: int = 4096)
     cell-list pass (still not sharing any engine machinery).
     """
     pos = np.asarray(pos, dtype=np.float64)
-    n = pos.shape[0]
-    if n > 20_000:
+    n, dim = pos.shape
+    if n > 20_000 and dim == 2:
+        # The vectorized cell-list fast path is 2D; 3D frames use the blocked
+        # brute-force loop at any n (O(N^2) but bounded memory).
         return _cell_list_stats(pos, cutoff)
     dmin = np.inf
     dsum = 0.0
     dcount = 0
     for start in range(0, n, cell_block):
         block = pos[start : start + cell_block]
-        dx = block[:, None, 0] - pos[None, :, 0]
-        dy = block[:, None, 1] - pos[None, :, 1]
-        d2 = dx * dx + dy * dy
+        d = block[:, None, :] - pos[None, :, :]
+        d2 = (d * d).sum(axis=-1)
         # mask self-pairs
         ii = np.arange(start, start + block.shape[0])
         d2[np.arange(block.shape[0]), ii] = np.inf

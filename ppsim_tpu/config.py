@@ -42,11 +42,20 @@ class SimConfig:
     cutoff: float = 0.01
     dt: float = 0.0005
 
+    # ---- dimensionality (stretch config: 3D; the reference is 2D-only) ----
+    # ``density`` generalizes to "box measure per particle": the box side is
+    # (density * n)^(1/ndim), which reduces to the reference's
+    # sqrt(density * n) in 2D (part1/main.cpp:113). Note the interacting-
+    # neighbor count per particle is (4/3)pi cutoff^3 / density in 3D, so 3D
+    # runs want a much smaller density than the 2D default to see collisions
+    # (e.g. ~7e-6 for ~0.6 neighbors each, vs 0.628 at the 2D default).
+    ndim: int = 2
+
     # ---- force law (plug-in seam; reference isolates apply_force the same
     # way, part1/serial.cpp:19-36) ----
     # "repulsive" = the reference's short-range repulsion; "lj" = truncated
-    # Lennard-Jones (supported by oracle/binned/grid engines; the Mosaic
-    # kernels are specialized to the repulsive law).
+    # Lennard-Jones. Both laws are supported by every engine, including the
+    # Mosaic kernels (ops/pallas_grid._pair_coef) and the sharded engines.
     # Stable LJ demo parameters: r_min = 2^(1/6)*sigma ~ 0.0079 (the spacing
     # the repulsive law maintains) and a well shallow enough for dt <= 1e-4;
     # the r^-12 wall is far stiffer than the reference law, so LJ runs want
@@ -100,8 +109,12 @@ class SimConfig:
     # ---- derived geometry ----
     @property
     def size(self) -> float:
-        """Box side length (reference: part1/main.cpp:113)."""
-        return math.sqrt(self.density * self.num_parts)
+        """Box side length (reference: part1/main.cpp:113 for 2D)."""
+        if self.ndim == 2:
+            # math.sqrt exactly matches the C++ sqrt the native oracle uses
+            # (bit-level trajectory parity); ** (1/2) is not guaranteed to.
+            return math.sqrt(self.density * self.num_parts)
+        return (self.density * self.num_parts) ** (1.0 / self.ndim)
 
     @property
     def min_r(self) -> float:
@@ -135,6 +148,14 @@ class SimConfig:
         return (self.grid_bin_size - self.cutoff) / 2.0
 
     @property
+    def law_params(self) -> tuple:
+        """Static extra parameters of the active force law (hashable, passed
+        straight through to the Mosaic kernels' _pair_coef seam)."""
+        if self.force_law == "lj":
+            return (self.lj_epsilon, self.lj_sigma)
+        return ()
+
+    @property
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
 
@@ -158,6 +179,12 @@ class SimConfig:
             )
         if self.rebin_every < 1 or self.grid_capacity < 1 or self.evac_capacity < 1:
             raise ValueError("rebin_every / grid_capacity / evac_capacity must be >= 1")
+        if self.force_law not in ("repulsive", "lj"):
+            raise ValueError(
+                f"unknown force_law {self.force_law!r}; have 'repulsive', 'lj'"
+            )
+        if self.ndim not in (2, 3):
+            raise ValueError(f"ndim must be 2 or 3, got {self.ndim}")
 
 
 DEFAULTS = SimConfig()

@@ -18,6 +18,8 @@ Here the seam is :class:`ppsim_tpu.engines.base.Engine`; backends:
   (reference: part2/mpi.cpp, closest structural analog)
 - ``sharded_grid`` — the flagship multi-chip path: slab-grid Mosaic kernels
   per shard, row-strip sharding, ghost-row halo + count-plane migration
+- ``binned3d`` — 3D cell-list engine (3x3x3 stencil, rebuild-per-step
+  neighbor candidates); the stretch-config dimension (ndim=3, either law)
 """
 
 from ppsim_tpu.engines.base import Engine, RunResult, get_engine, register_engine
@@ -28,5 +30,6 @@ from ppsim_tpu.engines import binned as _binned  # noqa: F401
 from ppsim_tpu.engines import sharded as _sharded  # noqa: F401
 from ppsim_tpu.engines import grid as _grid  # noqa: F401
 from ppsim_tpu.engines import sharded_grid as _sharded_grid  # noqa: F401
+from ppsim_tpu.engines import binned3d as _binned3d  # noqa: F401
 
 __all__ = ["Engine", "RunResult", "get_engine", "register_engine"]

@@ -112,9 +112,17 @@ class Engine:
     the compiled run program (the L4 driver analog)."""
 
     name: str = "base"
+    #: dimensionalities this engine implements (most are 2D; the oracle and
+    #: the 3D cell-list engine extend/replace this)
+    supported_ndim = (2,)
 
     def __init__(self, config: SimConfig):
         config.validate()
+        if config.ndim not in self.supported_ndim:
+            raise ValueError(
+                f"engine {self.name!r} supports ndim in {self.supported_ndim}, "
+                f"got ndim={config.ndim}; 3D engines: oracle, binned3d"
+            )
         self.config = config
         self._programs: Dict[Any, Any] = {}
 

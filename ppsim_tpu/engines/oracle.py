@@ -17,9 +17,9 @@ import jax
 import jax.numpy as jnp
 
 from ppsim_tpu.engines.base import Carry, Engine, register_engine
-from ppsim_tpu.physics import accel_fn_for, verlet_step
+from ppsim_tpu.physics import accel_fn_for, accel_vec_fn_for, verlet_step
 
-__all__ = ["OracleEngine", "all_pairs_accel"]
+__all__ = ["OracleEngine", "all_pairs_accel", "all_pairs_accel_vec"]
 
 
 def all_pairs_accel(pos, pair_fn, block: int = 2048):
@@ -44,13 +44,36 @@ def all_pairs_accel(pos, pair_fn, block: int = 2048):
     return accel.reshape(padded, 2)[:n]
 
 
+def all_pairs_accel_vec(pos, accel_vec, block: int = 2048):
+    """Dimension-agnostic all-pairs accelerations: ``accel_vec`` is the
+    (..., D)-displacement force law from physics.accel_vec_fn_for. Used by
+    the 3D oracle; the 2D path keeps the historical (dx, dy) formulation so
+    its bit-exact pairing with the binned engine is undisturbed."""
+    n, dim = pos.shape
+    nblocks = -(-n // block)
+    padded = nblocks * block
+    pos_pad = jnp.pad(pos, ((0, padded - n), (0, 0)))
+    rows = pos_pad.reshape(nblocks, block, dim)
+
+    def one_block(prow):
+        d = pos[None, :, :] - prow[:, None, :]
+        return accel_vec(d).sum(axis=1)
+
+    accel = jax.lax.map(one_block, rows)
+    return accel.reshape(padded, dim)[:n]
+
+
 @register_engine
 class OracleEngine(Engine):
     name = "oracle"
+    supported_ndim = (2, 3)
 
     def step_carry(self, carry: Carry) -> Carry:
         cfg = self.config
-        accel = all_pairs_accel(carry.pos, accel_fn_for(cfg))
+        if cfg.ndim == 2:
+            accel = all_pairs_accel(carry.pos, accel_fn_for(cfg))
+        else:
+            accel = all_pairs_accel_vec(carry.pos, accel_vec_fn_for(cfg))
         pos, vel = verlet_step(carry.pos, carry.vel, accel, cfg.dt, cfg.size)
         return Carry(pos, vel, carry.pid, carry.monitors)
 

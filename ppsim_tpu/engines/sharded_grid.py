@@ -20,8 +20,9 @@ a 1-D device mesh exactly like the reference's MPI decomposition
 - **no barriers**: SPMD program order (the reference needs three
   ``MPI_Barrier`` per step, mpi.cpp:308,358,364).
 
-Rebin cadence uses the statically-blocked scan (GridEngine._run_impl), so no
-collective ever sits under a traced conditional on the benchmark path.
+Rebin cadence uses the statically-scheduled driver (GridEngine._run_impl) for
+both unsaved and saved runs, so no collective ever sits under a traced
+conditional on either path.
 """
 
 from __future__ import annotations
@@ -63,12 +64,6 @@ class ShardedGridEngine(GridEngine):
         interpret: Optional[bool] = None,
     ):
         super().__init__(config)
-        if config.force_law != "repulsive":
-            raise ValueError(
-                "the Mosaic kernels are specialized to the repulsive law; "
-                "use the 'grid' or 'binned' engine for "
-                f"force_law={config.force_law!r}"
-            )
         devices = list(devices) if devices is not None else jax.devices()
         self.mesh = Mesh(np.array(devices), axis_names=("x",))
         self.P = len(devices)
@@ -133,9 +128,10 @@ class ShardedGridEngine(GridEngine):
         tx, bx = self._halo(xl, BIG, 1)
         ty, by = self._halo(yl, BIG, 1)
         nxl, nyl, nvx, nvy = grid_step_pallas(
-            xl, yl, vx, vy, pid, self.geom,
+            xl, yl, vx, vy, self.geom,
             cfg.cutoff, cfg.min_r, cfg.mass, cfg.dt, cfg.size,
             interpret=self.interpret, row0=row0, ghosts=(tx, ty, bx, by),
+            law=cfg.force_law, law_params=cfg.law_params,
         )
         max_speed = jax.lax.pmax(jnp.sqrt((nvx * nvx + nvy * nvy).max()), "x")
         return nxl, nyl, nvx, nvy, max_speed

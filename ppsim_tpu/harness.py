@@ -50,8 +50,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=None, help="override nsteps (default 1000)")
     p.add_argument("--savefreq", type=int, default=None, help="override savefreq (default 10)")
     p.add_argument("--dtype", default="float32", help="float32 | float64")
+    p.add_argument("--ndim", type=int, default=2,
+                   help="2 (reference physics) or 3 (stretch config; engines: "
+                        "oracle, binned3d)")
+    p.add_argument("--density", type=float, default=None,
+                   help="box measure per particle (default 0.0005; 3D runs "
+                        "want ~7e-6 for comparable collision rates)")
+    p.add_argument("--force-law", default="repulsive",
+                   help="repulsive (reference) | lj (truncated Lennard-Jones)")
     p.add_argument("--bin-scale", type=float, default=2.0, help="bin side / cutoff")
     p.add_argument("--bin-capacity", type=int, default=8, help="max particles per bin")
+    p.add_argument("--grid-bin-scale", type=float, default=None,
+                   help="grid engines: bin side / cutoff (default from config)")
+    p.add_argument("--grid-capacity", type=int, default=None,
+                   help="grid engines: slots per bin (default from config)")
+    p.add_argument("--rebin-every", type=int, default=None,
+                   help="grid engines: rebin cadence in steps (default from config)")
     p.add_argument("--init", default="auto", help="auto | reference | fast")
     p.add_argument("--check", action="store_true",
                    help="run the absmin/absavg correctness checker on the run's frames")
@@ -124,11 +138,25 @@ def main(argv=None) -> int:
 
         force_cpu_devices(args.cpu_mesh)
 
+    grid_kw = {
+        k: v
+        for k, v in (
+            ("grid_bin_scale", args.grid_bin_scale),
+            ("grid_capacity", args.grid_capacity),
+            ("rebin_every", args.rebin_every),
+        )
+        if v is not None
+    }
+    if args.density is not None:
+        grid_kw["density"] = args.density
     config = SimConfig(
         num_parts=args.n,
         dtype=args.dtype,
         bin_scale=args.bin_scale,
         bin_capacity=args.bin_capacity,
+        ndim=args.ndim,
+        force_law=args.force_law,
+        **grid_kw,
     )
     nsteps = args.steps if args.steps is not None else config.nsteps
     # Reference cadence: saving happens only when an output file is requested.

@@ -181,28 +181,45 @@ def init_particles_reference(num_parts: int, size: float, seed: int):
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("num_parts", "size", "seed", "dtype"))
-def init_particles_fast(num_parts: int, size: float, seed: int, dtype=jnp.float32):
+@functools.partial(
+    jax.jit, static_argnames=("num_parts", "size", "seed", "dtype", "ndim")
+)
+def init_particles_fast(num_parts: int, size: float, seed: int,
+                        dtype=jnp.float32, ndim: int = 2):
     """Device-side initializer, statistically equivalent to the reference.
 
     Same lattice geometry and shuffled (spatially unsorted) cell assignment as
     part1/main.cpp:31-59, same U[-1,1) velocity law, but driven by
     ``jax.random`` so it runs on-device at any scale (jitted: per-op eager
     dispatch through a relayed TPU costs tens of seconds at scale).
+    ``ndim=3`` generalizes the lattice to ceil(N^(1/3))^2 x sz cells (the
+    reference is 2D-only; this is the stretch-config analog).
     """
     key = jax.random.PRNGKey(seed)
     k_perm, k_vel = jax.random.split(key)
-
-    sx = int(math.ceil(math.sqrt(float(num_parts))))
-    sy = (num_parts + sx - 1) // sx
-
     k = jax.random.permutation(k_perm, num_parts)
-    col = (k % sx).astype(dtype)
-    row = (k // sx).astype(dtype)
-    x = jnp.asarray(size, dtype) * (1.0 + col) / (1 + sx)
-    y = jnp.asarray(size, dtype) * (1.0 + row) / (1 + sy)
-    pos = jnp.stack([x, y], axis=-1)
-    vel = jax.random.uniform(k_vel, (num_parts, 2), dtype=dtype, minval=-1.0, maxval=1.0)
+
+    if ndim == 2:
+        sx = int(math.ceil(math.sqrt(float(num_parts))))
+        sy = (num_parts + sx - 1) // sx
+        coords = []
+        for idx, s in ((k % sx, sx), (k // sx, sy)):
+            coords.append(
+                jnp.asarray(size, dtype) * (1.0 + idx.astype(dtype)) / (1 + s)
+            )
+    else:
+        sx = int(math.ceil(float(num_parts) ** (1.0 / 3.0)))
+        sy = sx
+        sz = (num_parts + sx * sy - 1) // (sx * sy)
+        coords = []
+        for idx, s in ((k % sx, sx), ((k // sx) % sy, sy), (k // (sx * sy), sz)):
+            coords.append(
+                jnp.asarray(size, dtype) * (1.0 + idx.astype(dtype)) / (1 + s)
+            )
+    pos = jnp.stack(coords, axis=-1)
+    vel = jax.random.uniform(
+        k_vel, (num_parts, ndim), dtype=dtype, minval=-1.0, maxval=1.0
+    )
     return pos, vel
 
 
@@ -213,11 +230,22 @@ def init_particles(config: SimConfig, seed: int, method: str = "auto") -> Partic
     ``"auto"`` (reference for small n where the host loop is cheap, else fast).
     """
     if method == "auto":
-        method = "reference" if (config.num_parts <= 100_000 and seed != 0) else "fast"
+        method = (
+            "reference"
+            if (config.num_parts <= 100_000 and seed != 0 and config.ndim == 2)
+            else "fast"
+        )
     if method == "reference":
+        if config.ndim != 2:
+            raise ValueError(
+                "the bit-faithful reference initializer is 2D-only (there is "
+                "no C++ reference to match in 3D); use method='fast'"
+            )
         pos, vel = init_particles_reference(config.num_parts, config.size, seed)
     elif method == "fast":
-        pos, vel = init_particles_fast(config.num_parts, config.size, seed)
+        pos, vel = init_particles_fast(
+            config.num_parts, config.size, seed, ndim=config.ndim
+        )
     else:
         raise ValueError(f"unknown init method {method!r}")
     return make_state(pos, vel, dtype=config.jnp_dtype)

@@ -40,13 +40,18 @@ def _fmt(v: float) -> str:
 
 
 def append_frame(f: IO[str], pos: np.ndarray) -> None:
-    lines = [f"{_fmt(x)} {_fmt(y)}" for x, y in np.asarray(pos, dtype=np.float64)]
+    lines = [
+        " ".join(_fmt(v) for v in row)
+        for row in np.asarray(pos, dtype=np.float64)
+    ]
     f.write("\n".join(lines))
     f.write("\n\n")
 
 
 def write_trajectory(path: str, frames: np.ndarray, size: float) -> None:
-    """Write saved frames (F, N, 2) in the reference text format."""
+    """Write saved frames (F, N, D) in the reference text format (the 3D
+    variant appends a z column to each line; 2D output is byte-identical to
+    the reference's)."""
     frames = np.asarray(frames)
     num_parts = frames.shape[1]
     with open(path, "w") as f:
@@ -56,7 +61,7 @@ def write_trajectory(path: str, frames: np.ndarray, size: float) -> None:
 
 
 def read_trajectory(path: str):
-    """Parse the reference text format -> (frames (F, N, 2), size)."""
+    """Parse the reference text format -> (frames (F, N, D), size)."""
     with open(path) as f:
         header = f.readline().split()
         num_parts, size = int(header[0]), float(header[1])
@@ -65,14 +70,13 @@ def read_trajectory(path: str):
             line = line.strip()
             if not line:
                 continue
-            x, y = line.split()
-            flat.append((float(x), float(y)))
+            flat.append(tuple(float(v) for v in line.split()))
     arr = np.asarray(flat, dtype=np.float64)
     if arr.shape[0] % num_parts:
         raise ValueError(
             f"trajectory length {arr.shape[0]} not a multiple of n={num_parts}"
         )
-    return arr.reshape(-1, num_parts, 2), size
+    return arr.reshape(-1, num_parts, arr.shape[1]), size
 
 
 def save_checkpoint(path: str, state: ParticleState, step: int, config: SimConfig) -> None:

@@ -132,14 +132,14 @@ def build_grid(pos_sorted, sorted_bin_id, rank, geom: GridGeometry) -> BinGrid:
     within-bin slot index from :func:`sort_by_bin`. Particles ranked past
     ``capacity`` are dropped from the grid (and flagged via ``max_count``).
     """
-    n = pos_sorted.shape[0]
+    n, dim = pos_sorted.shape
     cap = geom.capacity
     num_slots = geom.num_slots
 
     # Out-of-capacity ranks map to slot index num_slots -> dropped by XLA.
     slot = jnp.where(rank < cap, sorted_bin_id * cap + rank, num_slots)
 
-    slot_pos = jnp.full((num_slots, 2), BIG, dtype=pos_sorted.dtype)
+    slot_pos = jnp.full((num_slots, dim), BIG, dtype=pos_sorted.dtype)
     slot_pos = slot_pos.at[slot].set(pos_sorted, mode="drop")
 
     slot_gid = jnp.full((num_slots,), -1, dtype=jnp.int32)

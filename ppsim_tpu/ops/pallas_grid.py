@@ -6,21 +6,30 @@ the TPU-native analog of part3/gpu.cu:115-142's thread-per-bin CUDA kernel.
 
 Formulation: state fields are (capacity, R, C) slot-slab planes with
 bin-local positions (see :mod:`ppsim_tpu.ops.grid_ops`). The kernel walks the
-grid in row blocks; the caller passes three row-shifted copies of each field
-(rows r-1 / r / r+1 aligned to block rows), so every neighbor access inside
-the kernel is either pure elementwise or a cheap lane roll (columns +-1).
+grid in row blocks. Neighbor access is entirely in-kernel:
+
+- columns +-1 are lane rolls;
+- rows +-1 are sublane rolls within the block, with the single block-edge
+  row patched in from the adjacent row block, which arrives as an extra
+  BlockSpec on the SAME input array (index maps i / i+1 / i+2 into a
+  one-block-padded copy). Pallas streams those blocks straight from HBM.
+
+An earlier revision had the caller materialize three row-shifted copies of
+each field per step ("row_views"); profiling showed those XLA shift-copies
+(unaligned on the sublane dim) cost MORE than the kernel itself (~6.7 vs
+~5.1 ms/step at n=4.2M) — moving the shifts into the kernel as sublane rolls
+removed that entire cost.
+
 All ``capacity^2 x 9`` slab-pair interactions are dense full-tile VPU ops —
-no gathers, no atomics, accumulation entirely in registers. Empty slots hold
-the ``BIG`` sentinel and fail the cutoff test like any far particle.
+no gathers, no atomics. Empty slots hold the ``BIG`` sentinel and fail the
+cutoff test like any far particle; slot aliveness is derived from that same
+sentinel, so the pid planes never enter the hot kernel.
 
 :func:`grid_step_pallas` fuses the Verlet move + wall reflection into the
 force kernel (the integrator runs while the accelerations are still in
-registers). It optionally takes neighbor ghost rows and a global-row offset,
+VMEM). It optionally takes neighbor ghost rows and a global-row offset,
 which is all the sharded engine needs to run the same kernel per shard —
 ghost rows arrive by ``lax.ppermute`` instead of the BIG fill.
-
-Measured ~3 TFLOP/s effective on v5e, ~1 G particle-steps/s full-step at
-~1M particles — ~3x the reference P100's total throughput.
 """
 
 from __future__ import annotations
@@ -36,9 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ppsim_tpu.ops.binning import BIG
 from ppsim_tpu.ops.grid_ops import SlabGeometry
 
-__all__ = ["grid_force_pallas", "grid_step_pallas", "row_views"]
-
-_VMEM_BUDGET = 8 * 1024 * 1024
+__all__ = ["grid_force_pallas", "grid_step_pallas", "block_ext"]
 
 
 def _pick_row_block(geom: SlabGeometry, nplanes: int, rows: int) -> int:
@@ -47,156 +54,106 @@ def _pick_row_block(geom: SlabGeometry, nplanes: int, rows: int) -> int:
     return 8 if rows % 8 == 0 else rows
 
 
-def row_views(f, fill, halo: int, ghost_top=None, ghost_bot=None):
-    """2*halo+1 row-shifted full-size views of ``f`` (axis 1), edge rows
-    taken from the ghost blocks when given, else filled."""
+def block_ext(f, fill, br: int, ghost_top=None, ghost_bot=None):
+    """Pad ``f`` (cap, R, C) by one ``br``-row block on each side.
+
+    The pad blocks are ``fill`` except their inner edge row, which carries
+    the optional (cap, 1, C) neighbor ghost row (sharded halo). This is the
+    only XLA-side copy the kernels need — a row-aligned concatenate, NOT a
+    row-shifted one (shifted copies break sublane tiling and are ~10x
+    slower than the kernel consuming them).
+    """
     cap, R, C = f.shape
-    if ghost_top is None:
-        ghost_top = jnp.full((cap, halo, C), fill, f.dtype)
-    if ghost_bot is None:
-        ghost_bot = jnp.full((cap, halo, C), fill, f.dtype)
-    ext = jnp.concatenate([ghost_top, f, ghost_bot], axis=1)
-    return [ext[:, o : o + R] for o in range(2 * halo + 1)]
+    edge_top = ghost_top if ghost_top is not None else jnp.full(
+        (cap, 1, C), fill, f.dtype)
+    edge_bot = ghost_bot if ghost_bot is not None else jnp.full(
+        (cap, 1, C), fill, f.dtype)
+    parts = []
+    if br > 1:
+        pad = jnp.full((cap, br - 1, C), fill, f.dtype)
+        parts = [pad, edge_top, f, edge_bot, pad]
+    else:
+        parts = [edge_top, f, edge_bot]
+    return jnp.concatenate(parts, axis=1)
 
 
-def _pair_accum(xs, ys, ax, ay, xr_ref, yr_ref, dr, geom, cap, cols, lane,
-                cutoff, min_r, mass):
-    """Accumulate one neighbor-row's 3-column stencil contributions.
+def _pair_coef(r2, cutoff, min_r, mass, law, law_params):
+    """Pair coefficient plane: acceleration contribution = coef * (dx, dy).
 
-    Op-count discipline (this loop body runs 9*cap^2 times per bin, so every
-    plane op counts): neighbor offsets are hoisted out of the self-slot loop,
-    the edge-lane masks out of the j loop, and the coefficient is factored as
-    u - cutoff*(rinv*u) with u = inv2/mass — two multiplies and an FMA past
-    the rsqrt, instead of the naive four-op chain.
+    The force-law seam of the Mosaic kernels — the same plug-in point the
+    reference isolates as ``apply_force`` (part1/serial.cpp:19-36) and the
+    XLA engines expose via physics.accel_fn_for. ``law``/``law_params`` are
+    static, so each law compiles to its own straight-line VPU code:
+
+    - ``"repulsive"``: coef = (1 - cutoff/r) / r^2 / mass, factored as
+      u - cutoff*(rinv*u) with u = rinv^2/mass — two multiplies and an FMA
+      past the rsqrt (this body runs 9*cap^2 times per bin, every op counts).
+    - ``"lj"``: truncated Lennard-Jones,
+      coef = -24 eps (2 (sigma/r)^12 - (sigma/r)^6) / r^2 / mass
+      (physics.lj_coef_from_r2 twin), ``law_params = (eps, sigma)``.
+
+    Both laws share the reference's min_r distance clamp and contribute
+    exactly 0 outside the cutoff (BIG-sentinel slots fail that test for free).
     """
     c2 = jnp.float32(cutoff * cutoff)
     mr2 = jnp.float32(min_r * min_r)
-    inv_mass = jnp.float32(1.0 / mass)
-    cut = jnp.float32(cutoff)
-    offx = jnp.float32(dr * geom.bin_size)
-    bad_of = {1: lane == (cols - 1), -1: lane == 0}
-    for j in range(cap):
-        xj = xr_ref[j]
-        yj = yr_ref[j]
-        for dc in (-1, 0, 1):
-            if dc == 0:
-                xn, yn = xj, yj
-            else:
-                sh = (-dc) % cols
-                xn = pltpu.roll(xj, sh, 1)
-                yn = pltpu.roll(yj, sh, 1)
-                xn = jnp.where(bad_of[dc], BIG, xn)
-            xno = xn if dr == 0 else xn + offx
-            yno = yn if dc == 0 else yn + jnp.float32(dc * geom.bin_size)
-            for s in range(cap):
-                dx = xno - xs[s]
-                dy = yno - ys[s]
-                r2 = dx * dx + dy * dy
-                r2c = jnp.maximum(r2, mr2)
-                rinv = jax.lax.rsqrt(r2c)
-                u = inv_mass * (rinv * rinv)
-                coef = jnp.where(r2 <= c2, u - cut * (rinv * u), 0.0)
-                ax[s] = ax[s] + coef * dx
-                ay[s] = ay[s] + coef * dy
-    return ax, ay
+    r2c = jnp.maximum(r2, mr2)
+    if law == "repulsive":
+        rinv = jax.lax.rsqrt(r2c)
+        u = jnp.float32(1.0 / mass) * (rinv * rinv)
+        coef = u - jnp.float32(cutoff) * (rinv * u)
+    elif law == "lj":
+        eps, sigma = law_params
+        inv = 1.0 / r2c
+        s2 = jnp.float32(sigma * sigma) * inv
+        s6 = s2 * s2 * s2
+        coef = jnp.float32(-24.0 * eps / mass) * (s6 * (2.0 * s6 - 1.0)) * inv
+    else:
+        raise ValueError(f"unknown force_law {law!r}")
+    return jnp.where(r2 <= c2, coef, 0.0)
 
 
-def _force_kernel(xm_ref, x0_ref, xp_ref, ym_ref, y0_ref, yp_ref,
-                  ax_ref, ay_ref, *, cap, cols, geom, cutoff, min_r, mass):
-    lane = jax.lax.broadcasted_iota(jnp.int32, x0_ref.shape[1:], 1)
-    xs = [x0_ref[s] for s in range(cap)]
-    ys = [y0_ref[s] for s in range(cap)]
-    ax = [jnp.zeros_like(xs[0]) for _ in range(cap)]
-    ay = [jnp.zeros_like(ys[0]) for _ in range(cap)]
-    for dr, xr, yr in ((-1, xm_ref, ym_ref), (0, x0_ref, y0_ref), (1, xp_ref, yp_ref)):
-        ax, ay = _pair_accum(xs, ys, ax, ay, xr, yr, dr, geom, cap, cols, lane,
-                             cutoff, min_r, mass)
-    for s in range(cap):
-        ax_ref[s] = ax[s]
-        ay_ref[s] = ay[s]
+def _neighbor_slab(j, dr, x0_ref, xt_ref, xb_ref, row_top, row_bot, br):
+    """Slab j of the row-(r+dr) neighbor, as a (br, C) plane.
 
-
-@functools.partial(
-    jax.jit, static_argnames=("geom", "cutoff", "min_r", "mass", "interpret")
-)
-def grid_force_pallas(xl, yl, geom: SlabGeometry, cutoff, min_r, mass, interpret=False):
-    """Force-only kernel (accelerations out); single-chip convenience API."""
-    cap = geom.capacity
-    R, C = xl.shape[1], geom.cols_pad
-    br = _pick_row_block(geom, nplanes=8 * cap, rows=R)
-    xv = row_views(xl, BIG, 1)
-    yv = row_views(yl, BIG, 1)
-    spec = pl.BlockSpec((cap, br, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(
-        _force_kernel, cap=cap, cols=C, geom=geom,
-        cutoff=cutoff, min_r=min_r, mass=mass,
-    )
-    ax, ay = pl.pallas_call(
-        kernel,
-        grid=(R // br,),
-        in_specs=[spec] * 6,
-        out_specs=[spec] * 2,
-        out_shape=[jax.ShapeDtypeStruct((cap, R, C), jnp.float32)] * 2,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=R * C * cap * cap * 9 * 14,
-            bytes_accessed=R * C * cap * 4 * 8,
-            transcendentals=R * C * cap * cap * 9,
-        ),
-    )(*xv, *yv)
-    return ax, ay
-
-
-def _step_kernel(xm_ref, x0_ref, xp_ref, ym_ref, y0_ref, yp_ref,
-                 vx_ref, vy_ref, pid_ref, grow_ref,
-                 xo_ref, yo_ref, vxo_ref, vyo_ref,
-                 ax_ref, ay_ref,
-                 *, cap, cols, geom: SlabGeometry,
-                 cutoff, min_r, mass, dt, size):
-    """Fused force + Verlet move + wall reflection (one pass per step).
-
-    The integrator (reference: serial.cpp:44-61) runs on the accumulated
-    accelerations while they are still in VMEM, so the move phase costs no
-    extra HBM pass. ``grow_ref`` carries each bin's global row index (shard
-    offset included); ``pid`` is read-only — slots never change outside the
-    rebin shuffle.
-
-    Accelerations accumulate into the ``ax_ref/ay_ref`` VMEM scratch rather
-    than SSA values: Mosaic's allocator keeps every live plane on the kernel
-    stack, and ``4 x capacity`` live accumulator planes blow past the chip's
-    128MB VMEM at wide grids.
+    dr=0 is the block itself; dr=+-1 is a sublane roll with the one
+    block-edge row patched from the adjacent block (xt = block above,
+    xb = block below).
     """
-    dtf = jnp.float32(dt)
-    L = jnp.float32(size)
-    bs = jnp.float32(geom.bin_size)
-    c2 = jnp.float32(cutoff * cutoff)
-    mr2 = jnp.float32(min_r * min_r)
-    inv_mass = jnp.float32(1.0 / mass)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x0_ref.shape[1:], 1)
-    row_off = grow_ref[...].astype(jnp.float32) * bs
-    col_off = lane.astype(jnp.float32) * bs
+    if dr == 0:
+        return x0_ref[j]
+    if dr == -1:
+        rolled = pltpu.roll(x0_ref[j], 1, 0)
+        edge = xt_ref[j][br - 1 : br, :]  # last row of the block above
+        return jnp.where(row_top, edge, rolled)
+    rolled = pltpu.roll(x0_ref[j], (br - 1) % max(br, 1), 0)
+    edge = xb_ref[j][0:1, :]  # first row of the block below
+    return jnp.where(row_bot, edge, rolled)
 
-    for s in range(cap):
-        ax_ref[s] = jnp.zeros_like(ax_ref[s])
-        ay_ref[s] = jnp.zeros_like(ay_ref[s])
 
-    # Neighbor slabs via fori_loop with dynamic ref reads: unrolling the
-    # j-loop makes Mosaic's per-value stack exceed VMEM at wide grids
-    # (observed 173MB at 1920 lanes) and inflates compile time.
-    # Same op-count discipline as _pair_accum: offsets hoisted out of the
-    # self-slot loop, edge masks out of the j loop, coefficient factored as
-    # u - cutoff*(rinv*u) — this body runs 9*cap^2 times per bin.
-    cut = jnp.float32(cutoff)
+def _accum_pairs(x0_ref, y0_ref, xt_ref, xb_ref, yt_ref, yb_ref,
+                 add_fn, *, cap, cols, br, geom, cutoff, min_r, mass,
+                 law, law_params, unroll_j: bool):
+    """The 3x3 x cap^2 slab-pair accumulation loop shared by both kernels.
+
+    ``add_fn(s, dax, day)`` receives each self-slot's contribution planes.
+    Op-count discipline (the innermost body runs 9*cap^2 times per bin):
+    neighbor offsets are hoisted out of the self-slot loop, the edge masks
+    out of the j loop; the per-pair coefficient comes from _pair_coef.
+    """
+    shape = x0_ref.shape[1:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    row_top = row == 0
+    row_bot = row == (br - 1)
     bad_of = {1: lane == (cols - 1), -1: lane == 0}
-    for dr, xr, yr in ((-1, xm_ref, ym_ref), (0, x0_ref, y0_ref), (1, xp_ref, yp_ref)):
+
+    for dr in (-1, 0, 1):
         offx = jnp.float32(dr * geom.bin_size)
 
-        def j_body(j, _, xr=xr, yr=yr, offx=offx, dr=dr):
-            xj = xr[j]
-            yj = yr[j]
+        def j_body(j, _, dr=dr, offx=offx):
+            xj = _neighbor_slab(j, dr, x0_ref, xt_ref, xb_ref, row_top, row_bot, br)
+            yj = _neighbor_slab(j, dr, y0_ref, yt_ref, yb_ref, row_top, row_bot, br)
             for dc in (-1, 0, 1):
                 if dc == 0:
                     xn, yn = xj, yj
@@ -211,22 +168,134 @@ def _step_kernel(xm_ref, x0_ref, xp_ref, ym_ref, y0_ref, yp_ref,
                     dx = xno - x0_ref[s]
                     dy = yno - y0_ref[s]
                     r2 = dx * dx + dy * dy
-                    r2c = jnp.maximum(r2, mr2)
-                    rinv = jax.lax.rsqrt(r2c)
-                    u = inv_mass * (rinv * rinv)
-                    coef = jnp.where(r2 <= c2, u - cut * (rinv * u), 0.0)
-                    ax_ref[s] = ax_ref[s] + coef * dx
-                    ay_ref[s] = ay_ref[s] + coef * dy
+                    coef = _pair_coef(r2, cutoff, min_r, mass, law, law_params)
+                    add_fn(s, coef * dx, coef * dy)
             return 0
 
-        jax.lax.fori_loop(0, cap, j_body, 0)
+        if unroll_j:
+            for j in range(cap):
+                j_body(j, 0)
+        else:
+            # fori_loop keeps Mosaic's per-value stack bounded at wide grids
+            # (full unroll observed at 173MB VMEM at 1920 lanes).
+            jax.lax.fori_loop(0, cap, j_body, 0)
+
+
+def _force_kernel(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
+                  ax_ref, ay_ref, *, cap, cols, br, geom,
+                  cutoff, min_r, mass, law, law_params):
+    ax = [jnp.zeros(x_ref.shape[1:], jnp.float32) for _ in range(cap)]
+    ay = [jnp.zeros(x_ref.shape[1:], jnp.float32) for _ in range(cap)]
+
+    def add(s, dax, day):
+        ax[s] = ax[s] + dax
+        ay[s] = ay[s] + day
+
+    _accum_pairs(x_ref, y_ref, xt_ref, xb_ref, yt_ref, yb_ref, add,
+                 cap=cap, cols=cols, br=br, geom=geom, cutoff=cutoff,
+                 min_r=min_r, mass=mass, law=law, law_params=law_params,
+                 unroll_j=True)
+    for s in range(cap):
+        ax_ref[s] = ax[s]
+        ay_ref[s] = ay[s]
+
+
+def _halo_specs(cap, br, C):
+    """(main, top, bottom) BlockSpecs into a one-block-padded array."""
+    main = pl.BlockSpec((cap, br, C), lambda i: (0, i + 1, 0),
+                        memory_space=pltpu.VMEM)
+    top = pl.BlockSpec((cap, br, C), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    bot = pl.BlockSpec((cap, br, C), lambda i: (0, i + 2, 0),
+                       memory_space=pltpu.VMEM)
+    return main, top, bot
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geom", "cutoff", "min_r", "mass", "interpret",
+                     "law", "law_params"),
+)
+def grid_force_pallas(xl, yl, geom: SlabGeometry, cutoff, min_r, mass,
+                      interpret=False, law="repulsive", law_params=()):
+    """Force-only kernel (accelerations out); single-chip convenience API."""
+    cap = geom.capacity
+    R, C = xl.shape[1], geom.cols_pad
+    br = _pick_row_block(geom, nplanes=8 * cap, rows=R)
+    xe = block_ext(xl, BIG, br)
+    ye = block_ext(yl, BIG, br)
+    main, top, bot = _halo_specs(cap, br, C)
+    spec = pl.BlockSpec((cap, br, C), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _force_kernel, cap=cap, cols=C, br=br, geom=geom,
+        cutoff=cutoff, min_r=min_r, mass=mass, law=law, law_params=law_params,
+    )
+    ax, ay = pl.pallas_call(
+        kernel,
+        grid=(R // br,),
+        in_specs=[main, top, bot] * 2,
+        out_specs=[spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((cap, R, C), jnp.float32)] * 2,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=R * C * cap * cap * 9 * 14,
+            bytes_accessed=R * C * cap * 4 * 8,
+            transcendentals=R * C * cap * cap * 9,
+        ),
+    )(xe, xe, xe, ye, ye, ye)
+    return ax, ay
+
+
+def _step_kernel(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
+                 vx_ref, vy_ref, grow_ref,
+                 xo_ref, yo_ref, vxo_ref, vyo_ref,
+                 ax_ref, ay_ref,
+                 *, cap, cols, br, geom: SlabGeometry,
+                 cutoff, min_r, mass, dt, size, law, law_params):
+    """Fused force + Verlet move + wall reflection (one pass per step).
+
+    The integrator (reference: serial.cpp:44-61) runs on the accumulated
+    accelerations while they are still in VMEM, so the move phase costs no
+    extra HBM pass. ``grow_ref`` carries each bin's global row index (shard
+    offset included). Slot aliveness is derived from the position sentinel
+    (dead slots hold exactly ``BIG``) — the pid planes never enter this
+    kernel, saving a full input array of HBM traffic per step.
+
+    Accelerations accumulate into the ``ax_ref/ay_ref`` VMEM scratch rather
+    than SSA values: Mosaic's allocator keeps every live plane on the kernel
+    stack, and ``4 x capacity`` live accumulator planes blow past the chip's
+    128MB VMEM at wide grids.
+    """
+    dtf = jnp.float32(dt)
+    L = jnp.float32(size)
+    bs = jnp.float32(geom.bin_size)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x_ref.shape[1:], 1)
+    row_off = grow_ref[...].astype(jnp.float32) * bs
+    col_off = lane.astype(jnp.float32) * bs
 
     for s in range(cap):
-        alive = pid_ref[s] >= 0
+        ax_ref[s] = jnp.zeros_like(ax_ref[s])
+        ay_ref[s] = jnp.zeros_like(ay_ref[s])
+
+    def add(s, dax, day):
+        ax_ref[s] = ax_ref[s] + dax
+        ay_ref[s] = ay_ref[s] + day
+
+    _accum_pairs(x_ref, y_ref, xt_ref, xb_ref, yt_ref, yb_ref, add,
+                 cap=cap, cols=cols, br=br, geom=geom, cutoff=cutoff,
+                 min_r=min_r, mass=mass, law=law, law_params=law_params,
+                 unroll_j=False)
+
+    for s in range(cap):
+        alive = x_ref[s] < jnp.float32(0.5 * BIG)
         vx = jnp.where(alive, vx_ref[s] + ax_ref[s] * dtf, 0.0)
         vy = jnp.where(alive, vy_ref[s] + ay_ref[s] * dtf, 0.0)
-        xl = x0_ref[s] + vx * dtf
-        yl = y0_ref[s] + vy * dtf
+        xl = x_ref[s] + vx * dtf
+        yl = y_ref[s] + vy * dtf
 
         gx = xl + row_off
         out = (gx < 0.0) | (gx > L)
@@ -248,12 +317,14 @@ def _step_kernel(xm_ref, x0_ref, xp_ref, ym_ref, y0_ref, yp_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("geom", "cutoff", "min_r", "mass", "dt", "size", "interpret"),
+    static_argnames=("geom", "cutoff", "min_r", "mass", "dt", "size",
+                     "interpret", "law", "law_params"),
 )
-def grid_step_pallas(xl, yl, vx, vy, pid, geom: SlabGeometry,
+def grid_step_pallas(xl, yl, vx, vy, geom: SlabGeometry,
                      cutoff, min_r, mass, dt, size, interpret=False,
                      row0=None,
-                     ghosts: Optional[Tuple] = None):
+                     ghosts: Optional[Tuple] = None,
+                     law="repulsive", law_params=()):
     """Fused force+move step. Returns (xl', yl', vx', vy').
 
     ``row0``: traced global row index of this array's first row (sharded
@@ -266,26 +337,29 @@ def grid_step_pallas(xl, yl, vx, vy, pid, geom: SlabGeometry,
     br = _pick_row_block(geom, nplanes=14 * cap + 1, rows=R)
 
     if ghosts is None:
-        xv = row_views(xl, BIG, 1)
-        yv = row_views(yl, BIG, 1)
+        xe = block_ext(xl, BIG, br)
+        ye = block_ext(yl, BIG, br)
     else:
         top_xl, top_yl, bot_xl, bot_yl = ghosts
-        xv = row_views(xl, BIG, 1, top_xl, bot_xl)
-        yv = row_views(yl, BIG, 1, top_yl, bot_yl)
+        xe = block_ext(xl, BIG, br, top_xl, bot_xl)
+        ye = block_ext(yl, BIG, br, top_yl, bot_yl)
 
     base = 0 if row0 is None else row0
     grow = base + jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
 
-    spec = pl.BlockSpec((cap, br, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    main, top, bot = _halo_specs(cap, br, C)
+    spec = pl.BlockSpec((cap, br, C), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
     gspec = pl.BlockSpec((br, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _step_kernel, cap=cap, cols=C, geom=geom,
+        _step_kernel, cap=cap, cols=C, br=br, geom=geom,
         cutoff=cutoff, min_r=min_r, mass=mass, dt=dt, size=size,
+        law=law, law_params=law_params,
     )
     out = pl.pallas_call(
         kernel,
         grid=(R // br,),
-        in_specs=[spec] * 6 + [spec] * 3 + [gspec],
+        in_specs=[main, top, bot] * 2 + [spec] * 2 + [gspec],
         out_specs=[spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((cap, R, C), jnp.float32)] * 4,
         scratch_shapes=[
@@ -298,8 +372,8 @@ def grid_step_pallas(xl, yl, vx, vy, pid, geom: SlabGeometry,
         ),
         cost_estimate=pl.CostEstimate(
             flops=R * C * cap * cap * 9 * 14,
-            bytes_accessed=R * C * cap * 4 * 13,
+            bytes_accessed=R * C * cap * 4 * 12,
             transcendentals=R * C * cap * cap * 9,
         ),
-    )(*xv, *yv, vx, vy, pid, grow)
+    )(xe, xe, xe, ye, ye, ye, vx, vy, grow)
     return tuple(out)

@@ -27,12 +27,49 @@ import jax.numpy as jnp
 
 __all__ = [
     "pair_accel",
+    "coef_from_r2",
+    "lj_coef_from_r2",
     "accel_from_deltas",
     "lj_accel_from_deltas",
     "accel_fn_for",
+    "accel_vec_fn_for",
     "verlet_step",
     "reflect_walls",
 ]
+
+
+def coef_from_r2(r2, cutoff: float, min_r: float, mass: float):
+    """Repulsive pair coefficient from the squared distance: the acceleration
+    contribution is ``coef * d`` componentwise (dimension-agnostic core of
+    the force law, reference: part1/serial.cpp:19-36)."""
+    dtype = jnp.result_type(r2)
+    cutoff = jnp.asarray(cutoff, dtype)
+    min_r2 = jnp.asarray(min_r * min_r, dtype)
+    mass = jnp.asarray(mass, dtype)
+
+    in_range = r2 <= cutoff * cutoff
+    r2c = jnp.maximum(r2, min_r2)
+    r = jnp.sqrt(r2c)
+    coef = (1.0 - cutoff / r) / r2c / mass
+    return jnp.where(in_range, coef, jnp.zeros_like(coef))
+
+
+def lj_coef_from_r2(r2, cutoff: float, min_r: float, mass: float,
+                    epsilon: float, sigma: float):
+    """Truncated Lennard-Jones pair coefficient from the squared distance:
+    coef = -24 eps (2 (sigma/r)^12 - (sigma/r)^6) / r^2 / mass
+    (repulsive inside r_min = 2^(1/6) sigma, attractive outside), truncated
+    at ``cutoff``, with the reference's ``min_r`` distance clamp."""
+    dtype = jnp.result_type(r2)
+    cutoff = jnp.asarray(cutoff, dtype)
+    min_r2 = jnp.asarray(min_r * min_r, dtype)
+
+    in_range = r2 <= cutoff * cutoff
+    r2c = jnp.maximum(r2, min_r2)
+    s2 = jnp.asarray(sigma * sigma, dtype) / r2c
+    s6 = s2 * s2 * s2
+    coef = -24.0 * epsilon * (2.0 * s6 * s6 - s6) / r2c / mass
+    return jnp.where(in_range, coef, jnp.zeros_like(coef))
 
 
 def accel_from_deltas(dx, dy, cutoff: float, min_r: float, mass: float):
@@ -45,43 +82,15 @@ def accel_from_deltas(dx, dy, cutoff: float, min_r: float, mass: float):
     reference relies on the same fact (reference.cpp:57-60 interacts i with
     itself).
     """
-    dtype = jnp.result_type(dx)
-    cutoff = jnp.asarray(cutoff, dtype)
-    min_r2 = jnp.asarray(min_r * min_r, dtype)
-    mass = jnp.asarray(mass, dtype)
-
-    r2 = dx * dx + dy * dy
-    in_range = r2 <= cutoff * cutoff
-    r2c = jnp.maximum(r2, min_r2)
-    r = jnp.sqrt(r2c)
-    coef = (1.0 - cutoff / r) / r2c / mass
-    coef = jnp.where(in_range, coef, jnp.zeros_like(coef))
+    coef = coef_from_r2(dx * dx + dy * dy, cutoff, min_r, mass)
     return coef * dx, coef * dy
 
 
 def lj_accel_from_deltas(dx, dy, cutoff: float, min_r: float, mass: float,
                          epsilon: float, sigma: float):
-    """Truncated Lennard-Jones acceleration contribution (plug-in force law).
-
-    The reference isolates its force law in one function (apply_force,
-    part1/serial.cpp:19-36); this is the same seam exercised with a different
-    potential: V = 4 eps [ (sigma/r)^12 - (sigma/r)^6 ], truncated at
-    ``cutoff``, with the same ``min_r`` distance clamp. With
-    ``dx = x_j - x_i``, acceleration += coef * dx where
-    coef = -24 eps (2 (sigma/r)^12 - (sigma/r)^6) / r^2 / mass
-    (repulsive inside r_min = 2^(1/6) sigma, attractive outside).
-    """
-    dtype = jnp.result_type(dx)
-    cutoff = jnp.asarray(cutoff, dtype)
-    min_r2 = jnp.asarray(min_r * min_r, dtype)
-
-    r2 = dx * dx + dy * dy
-    in_range = r2 <= cutoff * cutoff
-    r2c = jnp.maximum(r2, min_r2)
-    s2 = jnp.asarray(sigma * sigma, dtype) / r2c
-    s6 = s2 * s2 * s2
-    coef = -24.0 * epsilon * (2.0 * s6 * s6 - s6) / r2c / mass
-    coef = jnp.where(in_range, coef, jnp.zeros_like(coef))
+    """Truncated Lennard-Jones acceleration contribution (plug-in force law,
+    same seam as the reference's apply_force, part1/serial.cpp:19-36)."""
+    coef = lj_coef_from_r2(dx * dx + dy * dy, cutoff, min_r, mass, epsilon, sigma)
     return coef * dx, coef * dy
 
 
@@ -102,6 +111,29 @@ def accel_fn_for(config):
             config.lj_epsilon, config.lj_sigma,
         )
     raise ValueError(f"unknown force_law {config.force_law!r}")
+
+
+def accel_vec_fn_for(config):
+    """Dimension-agnostic pair-acceleration closure ``d -> a`` where ``d`` is
+    the (..., ndim) displacement ``pos_neighbor - pos_self`` and ``a`` the
+    (..., ndim) acceleration contribution. The ND force-law seam used by the
+    3D engines; reduces to accel_fn_for's math in 2D (the squared distance is
+    summed in axis order, so x then y — identical op order)."""
+    if config.force_law == "repulsive":
+        coef_of = lambda r2: coef_from_r2(r2, config.cutoff, config.min_r, config.mass)
+    elif config.force_law == "lj":
+        coef_of = lambda r2: lj_coef_from_r2(
+            r2, config.cutoff, config.min_r, config.mass,
+            config.lj_epsilon, config.lj_sigma,
+        )
+    else:
+        raise ValueError(f"unknown force_law {config.force_law!r}")
+
+    def accel_vec(d):
+        r2 = (d * d).sum(axis=-1)
+        return coef_of(r2)[..., None] * d
+
+    return accel_vec
 
 
 def pair_accel(pos_i, pos_j, cutoff: float, min_r: float, mass: float):

@@ -22,10 +22,11 @@ __all__ = ["ParticleState", "make_state"]
 
 
 class ParticleState(NamedTuple):
-    """SoA particle state. ``pos``/``vel`` have shape (N, 2) = (x, y) pairs."""
+    """SoA particle state. ``pos``/``vel`` have shape (N, ndim) — (x, y) in
+    the reference's 2D physics, (x, y, z) in the 3D stretch config."""
 
-    pos: jax.Array  # (N, 2) positions
-    vel: jax.Array  # (N, 2) velocities
+    pos: jax.Array  # (N, ndim) positions
+    vel: jax.Array  # (N, ndim) velocities
 
     @property
     def num_parts(self) -> int:
@@ -48,6 +49,8 @@ def make_state(pos, vel, dtype=None) -> ParticleState:
     if dtype is not None:
         pos = pos.astype(dtype)
         vel = vel.astype(dtype)
-    if pos.shape != vel.shape or pos.ndim != 2 or pos.shape[1] != 2:
-        raise ValueError(f"expected (N, 2) pos/vel, got {pos.shape} / {vel.shape}")
+    if pos.shape != vel.shape or pos.ndim != 2 or pos.shape[1] not in (2, 3):
+        raise ValueError(
+            f"expected (N, 2) or (N, 3) pos/vel, got {pos.shape} / {vel.shape}"
+        )
     return ParticleState(pos, vel)

@@ -32,3 +32,14 @@ def grid_test_config():
         num_parts=1000, grid_bin_scale=3.0, grid_capacity=6, evac_capacity=2,
         rebin_every=4,
     )
+
+
+@pytest.fixture
+def tiny_grid_config():
+    # Tiny n + capacity keep interpret-mode Mosaic kernels cheap enough for
+    # the FAST suite: the 2-minute gate must exercise the flagship engines
+    # too, not only the sort-binned ones.
+    return SimConfig(
+        num_parts=200, grid_bin_scale=3.0, grid_capacity=6, evac_capacity=2,
+        rebin_every=4,
+    )

@@ -14,12 +14,21 @@ def test_default_flags():
     assert args.n == 1000 and args.s == 0 and args.o is None
 
 
-def test_cli_run_saves_and_checks(tmp_path, capsys):
+@pytest.mark.parametrize(
+    "engine", ["binned", "grid", "pallas", "sharded", "sharded_grid"]
+)
+def test_cli_run_saves_and_checks(tmp_path, capsys, engine):
+    """The -o/--check path must work (and PASS the checker) on every engine —
+    the reference exercises its save path in every job script; round 1 only
+    covered `binned` here."""
     out = str(tmp_path / "traj.txt")
     metrics = str(tmp_path / "m.jsonl")
     rc = main(
         ["-n", "300", "-s", "42", "-o", out, "--steps", "40", "--check",
-         "--metrics", metrics]
+         "--metrics", metrics, "--engine", engine, "--savefreq", "8",
+         # small grid config keeps CPU compiles of the unrolled Mosaic/XLA
+         # rebin graphs cheap (ignored by the sort-binned engines)
+         "--grid-bin-scale", "3.0", "--grid-capacity", "6", "--rebin-every", "4"]
     )
     assert rc == 0
     stdout = capsys.readouterr().out
@@ -28,7 +37,7 @@ def test_cli_run_saves_and_checks(tmp_path, capsys):
     assert "PASS" in stdout
 
     frames, size = read_trajectory(out)
-    assert frames.shape == (4, 300, 2)  # saves at steps 0,10,20,30
+    assert frames.shape == (5, 300, 2)  # saves at steps 1,9,17,25,33
 
     rec = json.loads(open(metrics).read().strip().split("\n")[-1])
     assert rec["num_parts"] == 300

@@ -104,6 +104,35 @@ def test_sharded_far_mover_converges_not_dropped():
     assert np.unique(alive).size == cfg.num_parts  # nothing duplicated
 
 
+def test_pallas_interpret_one_step_fast(tiny_grid_config):
+    """Fast-suite flagship coverage: tiny-config Mosaic step (interpret mode)
+    against the XLA twin. The heavyweight full-config parity runs stay in the
+    slow suite; this catches kernel regressions inside the 2-minute gate."""
+    cfg = tiny_grid_config
+    state = init_particles(cfg, seed=42, method="reference")
+    s1 = get_engine("grid", cfg).step_state(state)
+    s2 = get_engine("pallas", cfg).step_state(state)
+    np.testing.assert_allclose(np.asarray(s1.pos), np.asarray(s2.pos), atol=1e-7)
+
+
+def test_sharded_grid_two_device_fast(tiny_grid_config):
+    """Fast-suite flagship coverage: 2-device sharded_grid (halo + one rebin
+    boundary crossing) against the single-chip grid engine."""
+    import jax
+
+    from ppsim_tpu.engines.sharded_grid import ShardedGridEngine
+
+    cfg = tiny_grid_config
+    state = init_particles(cfg, seed=42, method="reference")
+    r1 = get_engine("grid", cfg).run(state, nsteps=8)
+    eng = ShardedGridEngine(cfg, devices=jax.devices()[:2])
+    r2 = eng.run(state, nsteps=8)
+    np.testing.assert_allclose(
+        np.asarray(r1.state.pos), np.asarray(r2.state.pos), atol=2e-6
+    )
+    assert int(r2.monitors.migrate_dropped) == 0
+
+
 def test_bin_overflow_detected():
     cfg = SimConfig(num_parts=1000, bin_capacity=1)
     state = init_particles(cfg, seed=42, method="reference")

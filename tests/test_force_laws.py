@@ -57,9 +57,32 @@ def test_lj_dynamics_bounded():
     assert np.abs(vel).max() < 10.0
 
 
-def test_mosaic_engines_reject_lj():
-    cfg = SimConfig(num_parts=100, force_law="lj")
-    with pytest.raises(ValueError, match="repulsive"):
-        get_engine("pallas", cfg)
-    with pytest.raises(ValueError, match="repulsive"):
-        get_engine("sharded_grid", cfg)
+def test_lj_pallas_interpret_matches_grid(tiny_grid_config):
+    """The force-law seam extends through the Mosaic kernels: LJ in
+    ops/pallas_grid._pair_coef against the XLA twin (interpret mode)."""
+    cfg = tiny_grid_config.with_(force_law="lj", dt=1e-4)
+    st = init_particles(cfg, seed=42, method="reference")
+    s1 = get_engine("grid", cfg).step_state(st)
+    s2 = get_engine("pallas", cfg).step_state(st)
+    np.testing.assert_allclose(np.asarray(s1.pos), np.asarray(s2.pos), atol=1e-7)
+
+
+def test_lj_sharded_grid_two_device(tiny_grid_config):
+    """LJ through the sharded flagship: 2-device strips + halo + rebin."""
+    import jax
+
+    from ppsim_tpu.engines.sharded_grid import ShardedGridEngine
+
+    cfg = tiny_grid_config.with_(force_law="lj", dt=1e-4)
+    st = init_particles(cfg, seed=42, method="reference")
+    r1 = get_engine("grid", cfg).run(st, nsteps=8)
+    r2 = ShardedGridEngine(cfg, devices=jax.devices()[:2]).run(st, nsteps=8)
+    np.testing.assert_allclose(
+        np.asarray(r1.state.pos), np.asarray(r2.state.pos), atol=2e-6
+    )
+    assert int(r2.monitors.migrate_dropped) == 0
+
+
+def test_unknown_force_law_rejected():
+    with pytest.raises(ValueError, match="unknown force_law"):
+        SimConfig(num_parts=100, force_law="coulomb").validate()

