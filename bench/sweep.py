@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
-            repeats: int = 1, config_kw=None):
+            repeats: int = 1, config_kw=None, impl: str = None):
     import jax
 
     from ppsim_tpu.config import SimConfig
@@ -47,7 +47,13 @@ def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
         cls = {"sharded": ShardedEngine, "sharded_grid": ShardedGridEngine}[
             engine_name
         ]
-        engine = cls(config, devices=jax.devices()[:devices])
+        kw = {}
+        if engine_name == "sharded_grid":
+            # On a CPU mesh the Mosaic kernels only run interpret-emulated
+            # (~1000x off); the XLA-twin impl is the meaningful one there.
+            on_tpu = jax.devices()[0].platform == "tpu"
+            kw["impl"] = impl or ("pallas" if on_tpu else "xla")
+        engine = cls(config, devices=jax.devices()[:devices], **kw)
     else:
         engine = get_engine(engine_name, config)
     result, times = timed_run_repeats(engine, state, steps, 0, repeats=repeats)
@@ -64,6 +70,7 @@ def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
         "max_bin_count": int(result.monitors.max_bin_count),
         "deferred": int(result.monitors.deferred),
         "platform": jax.devices()[0].platform,
+        "host_cores": os.cpu_count(),
         "config": dict(config_kw or {}),
         "ts": time.time(),
     }
@@ -87,6 +94,9 @@ def main(argv=None) -> int:
     ap.add_argument("--devices", type=str, default="1,2,4,8",
                     help="device counts for --strong/--weak")
     ap.add_argument("--cpu-mesh", type=int, default=0)
+    ap.add_argument("--impl", default=None,
+                    help="sharded_grid impl: pallas | xla (default: pallas "
+                         "on TPU, xla on a CPU mesh)")
     ap.add_argument("--grid-bin-scale", type=float, default=None)
     ap.add_argument("--grid-capacity", type=int, default=None)
     ap.add_argument("--rebin-every", type=int, default=None)
@@ -118,12 +128,14 @@ def main(argv=None) -> int:
         engine = args.engine or "sharded_grid"
         for d in dev_counts:
             emit(run_one(engine, args.strong, args.steps, devices=d,
-                         repeats=args.repeats, config_kw=config_kw))
+                         repeats=args.repeats, config_kw=config_kw,
+                         impl=args.impl))
     elif args.weak:
         engine = args.engine or "sharded_grid"
         for d in dev_counts:
             emit(run_one(engine, args.weak * d, args.steps, devices=d,
-                         repeats=args.repeats, config_kw=config_kw))
+                         repeats=args.repeats, config_kw=config_kw,
+                         impl=args.impl))
     else:
         engine = args.engine or "pallas"
         if args.sizes:

@@ -71,10 +71,18 @@ class GridEngine(Engine):
         return grid_ops.grid_move(slab, accel, self.geom, cfg.dt, cfg.size)
 
     # ------------------------------------------------------------- protocol
+    def _pack_jit(self):
+        """Cached jitted packer: a fresh ``jax.jit(lambda ...)`` per call
+        would re-trace (and round-trip the remote compile cache) on every
+        timed repeat — tens of seconds of phantom 'init' cost on a relay."""
+        if not hasattr(self, "_pack"):
+            self._pack = jax.jit(
+                lambda p, v: grid_ops.slab_from_particles(p, v, self.geom)
+            )
+        return self._pack
+
     def init_carry(self, state: ParticleState) -> GridCarry:
-        slab, overflow = jax.jit(
-            lambda p, v: grid_ops.slab_from_particles(p, v, self.geom)
-        )(state.pos, state.vel)
+        slab, overflow = self._pack_jit()(state.pos, state.vel)
         if int(overflow):
             raise RuntimeError(
                 f"initial bin occupancy exceeds grid_capacity "

@@ -62,12 +62,21 @@ class ShardedGridEngine(GridEngine):
         config: SimConfig,
         devices: Optional[Sequence[jax.Device]] = None,
         interpret: Optional[bool] = None,
+        impl: str = "pallas",
     ):
+        """``impl``: "pallas" (Mosaic kernels per shard; interpret-emulated
+        off-TPU) or "xla" (the grid twin ops per shard via ghost-row
+        extension — algorithmically identical, and the only practical way to
+        run big multi-device problems on a CPU mesh, where interpret-mode
+        Mosaic is ~1000x off)."""
         super().__init__(config)
         devices = list(devices) if devices is not None else jax.devices()
         self.mesh = Mesh(np.array(devices), axis_names=("x",))
         self.P = len(devices)
         self.interpret = (not _on_tpu()) if interpret is None else interpret
+        if impl not in ("pallas", "xla"):
+            raise ValueError(f"unknown sharded_grid impl {impl!r}")
+        self.impl = impl
 
         base = self.geom
         # Local strips must be row-block friendly; pad global rows to
@@ -121,6 +130,8 @@ class ShardedGridEngine(GridEngine):
 
     # ---------------------------------------------------------- local steps
     def _local_plain(self, xl, yl, vx, vy, pid):
+        if self.impl == "xla":
+            return self._local_plain_xla(xl, yl, vx, vy, pid)
         from ppsim_tpu.ops.pallas_grid import grid_step_pallas
 
         cfg = self.config
@@ -136,6 +147,54 @@ class ShardedGridEngine(GridEngine):
         max_speed = jax.lax.pmax(jnp.sqrt((nvx * nvx + nvy * nvy).max()), "x")
         return nxl, nyl, nvx, nvy, max_speed
 
+    def _local_plain_xla(self, xl, yl, vx, vy, pid):
+        """XLA-twin per-shard step: the halo enters as a literal 1-ghost-row
+        extension of the slab arrays, then the single-chip twin ops run on
+        the extended slab and the interior is sliced back out."""
+        from ppsim_tpu.physics import accel_fn_for
+
+        cfg = self.config
+        row0 = jax.lax.axis_index("x") * self.rows_local
+        tx, bx = self._halo(xl, BIG, 1)
+        ty, by = self._halo(yl, BIG, 1)
+        xe = jnp.concatenate([tx, xl, bx], axis=1)
+        ye = jnp.concatenate([ty, yl, by], axis=1)
+        ax, ay = grid_ops.grid_force_xla(
+            xe, ye, self.geom, cfg.cutoff, cfg.min_r, cfg.mass,
+            pair_fn=accel_fn_for(cfg),
+        )
+        slab = SlabState(xl, yl, vx, vy, pid)
+        new, max_speed = grid_ops.grid_move(
+            slab, (ax[:, 1:-1], ay[:, 1:-1]), self.geom, cfg.dt, cfg.size,
+            row0=row0,
+        )
+        max_speed = jax.lax.pmax(max_speed, "x")
+        return new.xl, new.yl, new.vx, new.vy, max_speed
+
+    def _local_rebin_xla(self, state: SlabState, row0):
+        """XLA-twin cross-shard rebin: extend by TWO ghost rows of every
+        field (the acceptance predicate at a destination needs its full 3x3
+        count neighborhood — the same reason the Mosaic path exchanges two
+        ghost rows of the count planes), run the single-chip loss-free
+        shuffle on the extension, slice the interior. Both neighbors compute
+        identical acceptance decisions from identical overlapping data, so
+        cross-shard transfers stay consistent with no handshake."""
+        cfg = self.config
+        g = [
+            self._halo(f, fill, 2)
+            for f, fill in ((state.xl, BIG), (state.yl, BIG),
+                            (state.vx, 0.0), (state.vy, 0.0),
+                            (state.pid, -1))
+        ]
+        ext = SlabState(
+            *(jnp.concatenate([t, f, b], axis=1)
+              for (t, b), f in zip(g, state))
+        )
+        new_ext, _ = grid_ops.grid_rebin(
+            ext, self.geom, cfg.evac_capacity, row0=row0 - 2
+        )
+        return SlabState(*(f[:, 2:-2, :] for f in new_ext))
+
     def _local_move_rebin(self, xl, yl, vx, vy, pid):
         from ppsim_tpu.ops.pallas_rebin import (
             rebin_counts_pallas,
@@ -147,20 +206,24 @@ class ShardedGridEngine(GridEngine):
         state = SlabState(nxl, nyl, nvx, nvy, pid)
         row0 = jax.lax.axis_index("x") * self.rows_local
 
-        counts = rebin_counts_pallas(
-            state, self.geom, interpret=self.interpret, row0=row0
-        )
-        field_ghosts = [
-            self._halo(f, fill, 1)
-            for f, fill in ((state.xl, BIG), (state.yl, BIG), (state.vx, 0.0),
-                            (state.vy, 0.0), (state.pid, -1))
-        ]
-        count_ghosts = self._halo(counts, 0.0, 2)
-        new = rebin_shuffle_pallas(
-            state, counts, self.geom, cfg.evac_capacity,
-            interpret=self.interpret, row0=row0,
-            field_ghosts=field_ghosts, count_ghosts=count_ghosts,
-        )
+        if self.impl == "xla":
+            new = self._local_rebin_xla(state, row0)
+        else:
+            counts = rebin_counts_pallas(
+                state, self.geom, interpret=self.interpret, row0=row0
+            )
+            field_ghosts = [
+                self._halo(f, fill, 1)
+                for f, fill in ((state.xl, BIG), (state.yl, BIG),
+                                (state.vx, 0.0), (state.vy, 0.0),
+                                (state.pid, -1))
+            ]
+            count_ghosts = self._halo(counts, 0.0, 2)
+            new = rebin_shuffle_pallas(
+                state, counts, self.geom, cfg.evac_capacity,
+                interpret=self.interpret, row0=row0,
+                field_ghosts=field_ghosts, count_ghosts=count_ghosts,
+            )
 
         # monitors (cross-shard aware: transfers move alive counts between
         # shards, so loss is only meaningful after the psum)
@@ -219,9 +282,7 @@ class ShardedGridEngine(GridEngine):
         from ppsim_tpu.engines.base import Monitors
         from ppsim_tpu.engines.grid import GridCarry
 
-        slab, overflow = jax.jit(
-            lambda p, v: grid_ops.slab_from_particles(p, v, self.geom)
-        )(state.pos, state.vel)
+        slab, overflow = self._pack_jit()(state.pos, state.vel)
         if int(overflow):
             raise RuntimeError(
                 f"initial bin occupancy exceeds grid_capacity "

@@ -94,6 +94,9 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
     TPU shares the wire with other tenants: single-shot timings vary several-
     fold under contention, so benchmarks report best-of-N plus the spread.
     """
+    # H2D transfer happens ONCE, before the timer — the same boundary as the
+    # reference's cudaMemcpy before start_time (part3/main.cu:120-125).
+    state = jax.device_put(state)
     warm_carry = engine.init_carry(state)
     program = engine._program(nsteps, savefreq)
     compiled = program.lower(warm_carry).compile()

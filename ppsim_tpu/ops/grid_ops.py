@@ -221,12 +221,13 @@ def grid_force_xla(xl, yl, geom: SlabGeometry, cutoff, min_r, mass, pair_fn=None
 
 
 # -------------------------------------------------------------------- move
-def grid_move(state: SlabState, accel, geom: SlabGeometry, dt, size):
+def grid_move(state: SlabState, accel, geom: SlabGeometry, dt, size, row0=0):
     """Verlet + wall reflection on the slab grid (reference: serial.cpp:44-61).
 
     Empty slots are inert. Reflection reconstructs the global coordinate only
     for out-of-box slots, so in-box particles keep exact bin-local positions.
-    Returns (new_state, max_speed_scalar).
+    ``row0`` is the global row index of the array's first row (sharded strips
+    pass their offset). Returns (new_state, max_speed_scalar).
     """
     ax, ay = accel
     alive = state.pid >= 0
@@ -239,7 +240,9 @@ def grid_move(state: SlabState, accel, geom: SlabGeometry, dt, size):
     xl = state.xl + vx * dtf
     yl = state.yl + vy * dtf
 
-    row_off = jax.lax.broadcasted_iota(jnp.int32, xl.shape, 1).astype(jnp.float32) * bs
+    row_off = (
+        row0 + jax.lax.broadcasted_iota(jnp.int32, xl.shape, 1)
+    ).astype(jnp.float32) * bs
     col_off = jax.lax.broadcasted_iota(jnp.int32, xl.shape, 2).astype(jnp.float32) * bs
 
     def reflect(local, off, v):
@@ -290,10 +293,10 @@ def slab_dirs(state: SlabState, geom: SlabGeometry, row0=0):
     return dirx, diry, far, alive
 
 
-def rebin_counts(state: SlabState, geom: SlabGeometry):
+def rebin_counts(state: SlabState, geom: SlabGeometry, row0=0):
     """(9, R, C) float32 count planes: slot [d] = leavers toward DIRS[d];
     slot [4] (the stay direction) = total alive count A."""
-    dirx, diry, far, alive = slab_dirs(state, geom)
+    dirx, diry, far, alive = slab_dirs(state, geom, row0=row0)
     planes = []
     for d, (dr, dc) in enumerate(DIRS):
         if (dr, dc) == (0, 0):
@@ -304,7 +307,7 @@ def rebin_counts(state: SlabState, geom: SlabGeometry):
     return jnp.stack(planes), far
 
 
-def grid_rebin(state: SlabState, geom: SlabGeometry, evac_cap: int):
+def grid_rebin(state: SlabState, geom: SlabGeometry, evac_cap: int, row0=0):
     """Loss-free 9-direction dense shuffle (XLA twin of the Mosaic kernel).
 
     Lock-free analog of the reference's bin migration (serial.cpp:63-70
@@ -322,8 +325,8 @@ def grid_rebin(state: SlabState, geom: SlabGeometry, evac_cap: int):
     """
     cap = geom.capacity
     bs = jnp.float32(geom.bin_size)
-    counts, far = rebin_counts(state, geom)
-    dirx, diry, _, alive = slab_dirs(state, geom)
+    counts, far = rebin_counts(state, geom, row0=row0)
+    dirx, diry, _, alive = slab_dirs(state, geom, row0=row0)
     dcode = (dirx + 1) * 3 + (diry + 1)
     F = jnp.float32(cap) - counts[4]  # pre-rebin empty slots per bin
 

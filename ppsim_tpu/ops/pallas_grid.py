@@ -250,46 +250,11 @@ def grid_force_pallas(xl, yl, geom: SlabGeometry, cutoff, min_r, mass,
     return ax, ay
 
 
-def _step_kernel(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
-                 vx_ref, vy_ref, grow_ref,
-                 xo_ref, yo_ref, vxo_ref, vyo_ref,
-                 ax_ref, ay_ref,
-                 *, cap, cols, br, geom: SlabGeometry,
-                 cutoff, min_r, mass, dt, size, law, law_params):
-    """Fused force + Verlet move + wall reflection (one pass per step).
-
-    The integrator (reference: serial.cpp:44-61) runs on the accumulated
-    accelerations while they are still in VMEM, so the move phase costs no
-    extra HBM pass. ``grow_ref`` carries each bin's global row index (shard
-    offset included). Slot aliveness is derived from the position sentinel
-    (dead slots hold exactly ``BIG``) — the pid planes never enter this
-    kernel, saving a full input array of HBM traffic per step.
-
-    Accelerations accumulate into the ``ax_ref/ay_ref`` VMEM scratch rather
-    than SSA values: Mosaic's allocator keeps every live plane on the kernel
-    stack, and ``4 x capacity`` live accumulator planes blow past the chip's
-    128MB VMEM at wide grids.
-    """
-    dtf = jnp.float32(dt)
-    L = jnp.float32(size)
-    bs = jnp.float32(geom.bin_size)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x_ref.shape[1:], 1)
-    row_off = grow_ref[...].astype(jnp.float32) * bs
-    col_off = lane.astype(jnp.float32) * bs
-
-    for s in range(cap):
-        ax_ref[s] = jnp.zeros_like(ax_ref[s])
-        ay_ref[s] = jnp.zeros_like(ay_ref[s])
-
-    def add(s, dax, day):
-        ax_ref[s] = ax_ref[s] + dax
-        ay_ref[s] = ay_ref[s] + day
-
-    _accum_pairs(x_ref, y_ref, xt_ref, xb_ref, yt_ref, yb_ref, add,
-                 cap=cap, cols=cols, br=br, geom=geom, cutoff=cutoff,
-                 min_r=min_r, mass=mass, law=law, law_params=law_params,
-                 unroll_j=False)
-
+def _move_tail(x_ref, y_ref, vx_ref, vy_ref, ax_ref, ay_ref,
+               xo_ref, yo_ref, vxo_ref, vyo_ref,
+               *, cap, dtf, L, row_off, col_off):
+    """Verlet + wall reflection on the accumulated accelerations (shared by
+    both step-kernel variants; reference: serial.cpp:44-61)."""
     for s in range(cap):
         alive = x_ref[s] < jnp.float32(0.5 * BIG)
         vx = jnp.where(alive, vx_ref[s] + ax_ref[s] * dtf, 0.0)
@@ -315,22 +280,226 @@ def _step_kernel(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
         vyo_ref[s] = vy
 
 
+def _step_kernel_asym(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
+                      vx_ref, vy_ref, grow_ref,
+                      xo_ref, yo_ref, vxo_ref, vyo_ref,
+                      ax_ref, ay_ref,
+                      *, cap, cols, br, geom: SlabGeometry,
+                      cutoff, min_r, mass, dt, size, law, law_params):
+    """Asymmetric (reference-style one-way) fused step: every pair evaluated
+    from both sides, 9 x cap^2 slab-pair planes per bin. Kept as the
+    A/B-able twin of the symmetric kernel (relay throughput varies ~2x
+    between sessions, so variants must be timed in ONE process)."""
+    dtf = jnp.float32(dt)
+    L = jnp.float32(size)
+    bs = jnp.float32(geom.bin_size)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x_ref.shape[1:], 1)
+    row_off = grow_ref[...].astype(jnp.float32) * bs
+    col_off = lane.astype(jnp.float32) * bs
+
+    for s in range(cap):
+        ax_ref[s] = jnp.zeros_like(ax_ref[s])
+        ay_ref[s] = jnp.zeros_like(ay_ref[s])
+
+    def add(s, dax, day):
+        ax_ref[s] = ax_ref[s] + dax
+        ay_ref[s] = ay_ref[s] + day
+
+    _accum_pairs(x_ref, y_ref, xt_ref, xb_ref, yt_ref, yb_ref, add,
+                 cap=cap, cols=cols, br=br, geom=geom, cutoff=cutoff,
+                 min_r=min_r, mass=mass, law=law, law_params=law_params,
+                 unroll_j=False)
+    _move_tail(x_ref, y_ref, vx_ref, vy_ref, ax_ref, ay_ref,
+               xo_ref, yo_ref, vxo_ref, vyo_ref,
+               cap=cap, dtf=dtf, L=L, row_off=row_off, col_off=col_off)
+
+
+def _step_kernel(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
+                 vx_ref, vy_ref, grow_ref,
+                 xo_ref, yo_ref, vxo_ref, vyo_ref,
+                 ax_ref, ay_ref, spill_ax_ref, spill_ay_ref,
+                 *, cap, cols, br, geom: SlabGeometry,
+                 cutoff, min_r, mass, dt, size, law, law_params):
+    """Fused symmetric force + Verlet move + wall reflection (one pass/step).
+
+    Unlike the reference (which deliberately skips Newton's-third-law
+    symmetry — part1 write-up p.9 lists it as future work), each pair is
+    evaluated ONCE and its force applied to both particles, nearly halving
+    the pair math (cap=11: 55 + 4*121 = 539 pair planes per bin vs the
+    asymmetric scheme's 9*121 = 1089):
+
+    - same-bin pairs: triangular loop j > s, +f to s and -f to j in place;
+    - east (dc=+1) and south (dr=+1, dc in -1/0/1) neighbors: evaluate at
+      the self bin, add +f to self, lane/sublane-roll the -f plane onto the
+      neighbor's accumulator. West and north directions vanish by symmetry.
+
+    Row-crossing scatters (row br-1 -> next block's row 0) ride the
+    ``spill_*`` VMEM scratch: Pallas TPU executes the grid sequentially, so
+    block i writes the spill and block i+1 folds it into its accumulator
+    init. Forces on the TOP ghost row's owners cannot be scattered across
+    the shard boundary, so block 0 evaluates one extra self-side-only
+    direction against the ghost row (both shards do this symmetrically —
+    the cross-shard edge pairs are the only ones still computed twice,
+    exactly the reference's MPI halo discipline, part2/mpi.cpp:93-146).
+
+    The integrator (reference: serial.cpp:44-61) then runs on the
+    accumulated accelerations while they are still in VMEM. ``grow_ref``
+    carries each bin's global row index (shard offset included). Slot
+    aliveness is derived from the position sentinel (dead slots hold exactly
+    ``BIG``); empty slots as neighbors sit beyond the cutoff so both their
+    direct and scattered contributions vanish identically.
+
+    Accelerations accumulate into the ``ax_ref/ay_ref`` VMEM scratch rather
+    than SSA values: Mosaic's allocator keeps every live plane on the kernel
+    stack, and ``4 x capacity`` live accumulator planes blow past the chip's
+    128MB VMEM at wide grids.
+    """
+    i = pl.program_id(0)
+    dtf = jnp.float32(dt)
+    L = jnp.float32(size)
+    bs = jnp.float32(geom.bin_size)
+    shape = x_ref.shape[1:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    row_top = row == 0
+    row_bot = row == (br - 1)
+    bad_of = {1: lane == (cols - 1), -1: lane == 0}
+    row_off = grow_ref[...].astype(jnp.float32) * bs
+    col_off = lane.astype(jnp.float32) * bs
+
+    def pair(xn, yn, s):
+        """(+fx, +fy) on self slot s from a neighbor plane at (xn, yn)."""
+        dx = xn - x_ref[s]
+        dy = yn - y_ref[s]
+        r2 = dx * dx + dy * dy
+        coef = _pair_coef(r2, cutoff, min_r, mass, law, law_params)
+        return coef * dx, coef * dy
+
+    # 0) init accumulators; row 0 inherits the spill scattered by block i-1
+    use_spill = i > 0
+    for s in range(cap):
+        ax_ref[s] = jnp.where(row_top & use_spill, spill_ax_ref[s], 0.0)
+        ay_ref[s] = jnp.where(row_top & use_spill, spill_ay_ref[s], 0.0)
+
+    # 1) same-bin triangle (j > s): one evaluation, both sides updated
+    for jj in range(1, cap):
+        for s in range(jj):
+            fx, fy = pair(x_ref[jj], y_ref[jj], s)
+            ax_ref[s] = ax_ref[s] + fx
+            ay_ref[s] = ay_ref[s] + fy
+            ax_ref[jj] = ax_ref[jj] - fx
+            ay_ref[jj] = ay_ref[jj] - fy
+
+    # 2) east neighbor (dr=0, dc=+1), symmetric via lane-roll scatter
+    def east_body(j, _):
+        xn = pltpu.roll(x_ref[j], cols - 1, 1)
+        xn = jnp.where(bad_of[1], BIG, xn)
+        yn = pltpu.roll(y_ref[j], cols - 1, 1) + bs
+        tax = jnp.zeros(shape, jnp.float32)
+        tay = jnp.zeros(shape, jnp.float32)
+        for s in range(cap):
+            fx, fy = pair(xn, yn, s)
+            ax_ref[s] = ax_ref[s] + fx
+            ay_ref[s] = ay_ref[s] + fy
+            tax = tax - fx
+            tay = tay - fy
+        # contribution to lane c+1 sits at lane c: scatter = roll by +1
+        ax_ref[j] = ax_ref[j] + pltpu.roll(tax, 1, 1)
+        ay_ref[j] = ay_ref[j] + pltpu.roll(tay, 1, 1)
+        return 0
+
+    jax.lax.fori_loop(0, cap, east_body, 0)
+
+    # 3) south row (dr=+1, dc in -1/0/1), symmetric via roll + block spill
+    def south_body(j, _):
+        rolled = pltpu.roll(x_ref[j], (br - 1) % max(br, 1), 0)
+        xj = jnp.where(row_bot, xb_ref[j][0:1, :], rolled)
+        rolled = pltpu.roll(y_ref[j], (br - 1) % max(br, 1), 0)
+        yj = jnp.where(row_bot, yb_ref[j][0:1, :], rolled)
+        scat_x = jnp.zeros(shape, jnp.float32)
+        scat_y = jnp.zeros(shape, jnp.float32)
+        for dc in (-1, 0, 1):
+            if dc == 0:
+                xn, yn = xj, yj
+            else:
+                sh = (-dc) % cols
+                xn = pltpu.roll(xj, sh, 1)
+                xn = jnp.where(bad_of[dc], BIG, xn)
+                yn = pltpu.roll(yj, sh, 1) + jnp.float32(dc) * bs
+            xn = xn + bs  # dr=+1 row offset
+            tax = jnp.zeros(shape, jnp.float32)
+            tay = jnp.zeros(shape, jnp.float32)
+            for s in range(cap):
+                fx, fy = pair(xn, yn, s)
+                ax_ref[s] = ax_ref[s] + fx
+                ay_ref[s] = ay_ref[s] + fy
+                tax = tax - fx
+                tay = tay - fy
+            if dc != 0:
+                tax = pltpu.roll(tax, dc % cols, 1)
+                tay = pltpu.roll(tay, dc % cols, 1)
+            scat_x = scat_x + tax
+            scat_y = scat_y + tay
+        # contribution to row r+1 sits at row r: in-block rows shift down by
+        # one; the last row's plane goes to the next block via the spill.
+        rolled = pltpu.roll(scat_x, 1, 0)
+        ax_ref[j] = ax_ref[j] + jnp.where(row_top, 0.0, rolled)
+        spill_ax_ref[j] = scat_x[br - 1 : br, :]
+        rolled = pltpu.roll(scat_y, 1, 0)
+        ay_ref[j] = ay_ref[j] + jnp.where(row_top, 0.0, rolled)
+        spill_ay_ref[j] = scat_y[br - 1 : br, :]
+        return 0
+
+    jax.lax.fori_loop(0, cap, south_body, 0)
+
+    # 4) top ghost row (block 0 only): self-side forces from the row above
+    # the strip — the shard boundary's twice-computed halo pairs (single-chip
+    # runs see the BIG fill here and accumulate exact zeros).
+    @pl.when(i == 0)
+    def _():
+        def ghost_body(j, _):
+            gx = jnp.where(row_top, xt_ref[j][br - 1 : br, :], BIG)
+            gy = jnp.where(row_top, yt_ref[j][br - 1 : br, :], 0.0)
+            for dc in (-1, 0, 1):
+                if dc == 0:
+                    xn, yn = gx, gy
+                else:
+                    sh = (-dc) % cols
+                    xn = pltpu.roll(gx, sh, 1)
+                    xn = jnp.where(bad_of[dc], BIG, xn)
+                    yn = pltpu.roll(gy, sh, 1) + jnp.float32(dc) * bs
+                xn = xn - bs  # dr=-1 row offset
+                for s in range(cap):
+                    fx, fy = pair(xn, yn, s)
+                    ax_ref[s] = ax_ref[s] + fx
+                    ay_ref[s] = ay_ref[s] + fy
+            return 0
+
+        jax.lax.fori_loop(0, cap, ghost_body, 0)
+
+    _move_tail(x_ref, y_ref, vx_ref, vy_ref, ax_ref, ay_ref,
+               xo_ref, yo_ref, vxo_ref, vyo_ref,
+               cap=cap, dtf=dtf, L=L, row_off=row_off, col_off=col_off)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("geom", "cutoff", "min_r", "mass", "dt", "size",
-                     "interpret", "law", "law_params"),
+                     "interpret", "law", "law_params", "symmetric"),
 )
 def grid_step_pallas(xl, yl, vx, vy, geom: SlabGeometry,
                      cutoff, min_r, mass, dt, size, interpret=False,
                      row0=None,
                      ghosts: Optional[Tuple] = None,
-                     law="repulsive", law_params=()):
+                     law="repulsive", law_params=(), symmetric=True):
     """Fused force+move step. Returns (xl', yl', vx', vy').
 
     ``row0``: traced global row index of this array's first row (sharded
     engine passes ``axis_index * rows_local``; default 0).
     ``ghosts``: optional (top_xl, top_yl, bot_xl, bot_yl), each (cap, 1, C) —
     neighbor boundary rows for the force stencil (sharded halo exchange).
+    ``symmetric``: Newton's-third-law kernel (default) vs the two-sided
+    reference-style evaluation (A/B benchmarking).
     """
     cap = geom.capacity
     R, C = xl.shape[1], geom.cols_pad
@@ -352,28 +521,35 @@ def grid_step_pallas(xl, yl, vx, vy, geom: SlabGeometry,
                         memory_space=pltpu.VMEM)
     gspec = pl.BlockSpec((br, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(
-        _step_kernel, cap=cap, cols=C, br=br, geom=geom,
+        _step_kernel if symmetric else _step_kernel_asym,
+        cap=cap, cols=C, br=br, geom=geom,
         cutoff=cutoff, min_r=min_r, mass=mass, dt=dt, size=size,
         law=law, law_params=law_params,
     )
+    scratch = [
+        pltpu.VMEM((cap, br, C), jnp.float32),
+        pltpu.VMEM((cap, br, C), jnp.float32),
+    ]
+    if symmetric:
+        scratch += [
+            pltpu.VMEM((cap, 1, C), jnp.float32),
+            pltpu.VMEM((cap, 1, C), jnp.float32),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(R // br,),
         in_specs=[main, top, bot] * 2 + [spec] * 2 + [gspec],
         out_specs=[spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((cap, R, C), jnp.float32)] * 4,
-        scratch_shapes=[
-            pltpu.VMEM((cap, br, C), jnp.float32),
-            pltpu.VMEM((cap, br, C), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=R * C * cap * cap * 9 * 14,
+            flops=R * C * cap * cap * (5 if symmetric else 9) * 14,
             bytes_accessed=R * C * cap * 4 * 12,
-            transcendentals=R * C * cap * cap * 9,
+            transcendentals=R * C * cap * cap * (5 if symmetric else 9),
         ),
     )(xe, xe, xe, ye, ye, ye, vx, vy, grow)
     return tuple(out)

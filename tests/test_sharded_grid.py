@@ -38,6 +38,27 @@ def test_sharded_grid_saved_run_matches_grid(tiny_grid_config):
     np.testing.assert_allclose(r1.frames, r2.frames, atol=2e-6)
 
 
+def test_sharded_grid_xla_impl_matches_grid(grid_test_config):
+    """The XLA-twin impl (ghost-row extension + single-chip twin ops per
+    shard) must track the single-chip grid engine through rebins with
+    cross-shard migration. This impl is what CPU-mesh scaling benchmarks
+    run (interpret-mode Mosaic is ~1000x off at benchmark sizes)."""
+    import jax
+
+    from ppsim_tpu.engines.sharded_grid import ShardedGridEngine
+
+    cfg = grid_test_config
+    st = init_particles(cfg, seed=42, method="reference")
+    r1 = get_engine("grid", cfg).run(st, nsteps=16)
+    r2 = ShardedGridEngine(cfg, devices=jax.devices()[:4], impl="xla").run(
+        st, nsteps=16
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.state.pos), np.asarray(r2.state.pos), atol=2e-6
+    )
+    assert int(r2.monitors.migrate_dropped) == 0
+
+
 def test_grid_saved_and_unsaved_runs_agree(tiny_grid_config):
     """Saving must not change the dynamics: the save driver runs the exact
     same step sequence as the benchmark driver, so final states match
