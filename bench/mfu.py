@@ -52,19 +52,24 @@ def _best(fn, reps=5):
 
 
 # --------------------------------------------------------------- VPU peak
-def vpu_peak_flops(iters: int = 512, rows: int = 4096, cols: int = 1024,
-                   calls: int = 8) -> float:
-    """Peak f32 VPU FLOP/s: an FMA chain on VMEM-resident blocks."""
+def vpu_peak_flops(iters: int = 256, rows: int = 4096, cols: int = 1024,
+                   calls: int = 48, chains: int = 8) -> float:
+    """Peak f32 VPU FLOP/s: ``chains`` independent FMA chains on
+    VMEM-resident blocks (a single chain is latency-bound — each FMA waits
+    on the previous one — and under-reads the peak ~5x)."""
 
     def kernel(x_ref, o_ref):
         a = x_ref[...]
         b = a * 1.0000001 + 0.5
-        acc = a
+        accs = [a + jnp.float32(k) for k in range(chains)]
         for _ in range(iters):
-            acc = acc * b + a  # 1 FMA = 2 FLOP per element
-        o_ref[...] = acc
+            accs = [acc * b + a for acc in accs]  # chains independent FMAs
+        out = accs[0]
+        for acc in accs[1:]:
+            out = out + acc
+        o_ref[...] = out
 
-    br = 512
+    br = 256
     x = jnp.ones((rows, cols), jnp.float32) * 0.999
 
     @jax.jit
@@ -73,6 +78,9 @@ def vpu_peak_flops(iters: int = 512, rows: int = 4096, cols: int = 1024,
         f = pl.pallas_call(
             kernel, grid=(rows // br,), in_specs=[spec], out_specs=spec,
             out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
         )
         y = x
         for _ in range(calls):
@@ -81,22 +89,36 @@ def vpu_peak_flops(iters: int = 512, rows: int = 4096, cols: int = 1024,
 
     _sync_scalar(run(x))  # compile
     t = _best(lambda: _sync_scalar(run(x)))
-    return rows * cols * iters * 2 * calls / t
+    return rows * cols * iters * chains * 2 * calls / t
 
 
 # ----------------------------------------------------------- HBM bandwidth
 def hbm_stream_bw(mb: int = 512) -> float:
-    """Streaming bytes/s: XLA saxpy (read x, write y) over an HBM array."""
+    """Streaming bytes/s: XLA saxpy (read x, write y) over an HBM array.
+
+    The saxpy output is a real (unfetched) device array, so the write is
+    materialized; only the reduction scalar crosses the slow relay tunnel.
+    (Returning ``y[0]`` instead lets XLA narrow the whole saxpy to one
+    element and the "bandwidth" becomes pure dispatch latency.)"""
     n = mb * 1024 * 1024 // 4
     x = jnp.ones((n,), jnp.float32)
 
+    reps = 48  # amortize the ~25-50 ms relay dispatch latency per fetch
+
     @jax.jit
     def run(x):
-        return (x * 1.5 + 2.0)[0]
+        y = x
+        for _ in range(reps):
+            y = y * 1.000001 + x  # read y + x? (x stays cached) -> count y rw
+        return y, y[::65536].sum()
 
-    _sync_scalar(run(x))
-    t = _best(lambda: _sync_scalar(run(x)))
-    return 2 * n * 4 / t  # read + write
+    def fetch():
+        y, s = run(x)
+        return _sync_scalar(s)
+
+    fetch()
+    t = _best(fetch)
+    return reps * 2 * n * 4 / t  # read + write per rep
 
 
 # ------------------------------------------------------------- step kernel

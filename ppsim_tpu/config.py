@@ -98,6 +98,12 @@ class SimConfig:
     # cascade into runaway speeds (caught by the monitors). 11 is the sweet
     # spot; raise it if RunResult.check ever reports drops.
     grid_capacity: int = 11
+    # 3D slab grid (stretch config): mean occupancy is
+    # (grid3_bin_scale*cutoff)^3 / density — at the 3D reference density
+    # ~7e-6 and scale 3, ~3.9 per bin; capacity leaves Poisson tail room
+    # (same deferral backpressure as 2D).
+    grid3_bin_scale: float = 3.0
+    grid3_capacity: int = 10
     # Rebin cadence in steps. Stale binning stays correct while accumulated
     # drift satisfies rebin_every * max|v| * dt <= (bin_side - cutoff) / 2;
     # monitored at runtime via max_speed.
@@ -146,6 +152,14 @@ class SimConfig:
     def grid_slack(self) -> float:
         """Max tolerated position drift between rebins (stale-bin safety)."""
         return (self.grid_bin_size - self.cutoff) / 2.0
+
+    @property
+    def grid3_bin_size(self) -> float:
+        return self.grid3_bin_scale * self.cutoff
+
+    @property
+    def grid3_bins_per_side(self) -> int:
+        return max(1, math.ceil(self.size / self.grid3_bin_size))
 
     @property
     def law_params(self) -> tuple:

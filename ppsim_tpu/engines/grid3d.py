@@ -1,0 +1,148 @@
+"""3D dense slab-grid engines: the stretch config in the flagship layout.
+
+``grid3d``   — XLA 27-plane stencil twin (any backend; correctness anchor).
+``pallas3d`` — same engine with the symmetric Mosaic step kernel
+               (ops/pallas_grid3d.py) on the force+move path.
+
+The 2D slab architecture carries over wholesale (see ops/grid3d_ops.py for
+the layout): rows are still x (the strip/shard axis), the (y, z) plane
+flattens into lanes, and the statically-scheduled run driver, rebin cadence,
+and monitors are inherited from the 2D GridEngine unchanged. Both force laws
+plug in through the same seam; the full stretch config
+(BASELINE.json configs[4]) is ``SimConfig(ndim=3, force_law="lj")`` with
+``--engine grid3d`` or ``pallas3d``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ppsim_tpu.engines.base import Monitors, RunResult, register_engine
+from ppsim_tpu.engines.grid import GridCarry, GridEngine
+from ppsim_tpu.ops import grid3d_ops
+from ppsim_tpu.ops.grid3d_ops import Geometry3S, Slab3State
+from ppsim_tpu.state import ParticleState
+
+__all__ = ["Grid3DEngine", "Pallas3DEngine"]
+
+
+def _coef_of(config):
+    from ppsim_tpu.physics import coef_from_r2, lj_coef_from_r2
+
+    if config.force_law == "lj":
+        return functools.partial(
+            lj_coef_from_r2, cutoff=config.cutoff, min_r=config.min_r,
+            mass=config.mass, epsilon=config.lj_epsilon, sigma=config.lj_sigma,
+        )
+    return functools.partial(
+        coef_from_r2, cutoff=config.cutoff, min_r=config.min_r,
+        mass=config.mass,
+    )
+
+
+@register_engine
+class Grid3DEngine(GridEngine):
+    name = "grid3d"
+    supported_ndim = (3,)
+
+    def __init__(self, config):
+        super(GridEngine, self).__init__(config)  # skip 2D geom setup
+        self.geom = Geometry3S.for_config(config)
+
+    @property
+    def capacity(self) -> int:
+        return self.config.grid3_capacity
+
+    def check(self, result: RunResult) -> None:
+        cfg = self.config
+        mx = int(result.monitors.max_bin_count)
+        if mx > self.capacity:
+            raise RuntimeError(
+                f"bin overflow: max occupancy {mx} > capacity {self.capacity}"
+            )
+        if int(result.monitors.migrate_dropped):
+            raise RuntimeError(
+                f"{int(result.monitors.migrate_dropped)} particles dropped"
+            )
+        drift = cfg.rebin_every * float(result.monitors.max_speed) * cfg.dt
+        slack = (cfg.grid3_bin_size - cfg.cutoff) / 2.0
+        if drift > slack:
+            raise RuntimeError(
+                f"stale-bin slack violated: {drift:.4g} > {slack:.4g}; "
+                "lower rebin_every or raise grid3_bin_scale"
+            )
+
+    # ------------------------------------------------------------ phases
+    def move_phase(self, slab: Slab3State):
+        cfg = self.config
+        accel = grid3d_ops.grid3_force_xla(
+            slab.xl, slab.yl, slab.zl, self.geom, _coef_of(cfg)
+        )
+        return grid3d_ops.grid3_move(slab, accel, self.geom, cfg.dt, cfg.size)
+
+    def rebin_of(self, slab):
+        return grid3d_ops.grid3_rebin(
+            slab, self.geom, self.config.evac_capacity
+        )
+
+    # ----------------------------------------------------------- protocol
+    def _pack_jit(self):
+        if not hasattr(self, "_pack"):
+            self._pack = jax.jit(
+                lambda p, v: grid3d_ops.slab3_from_particles(p, v, self.geom)
+            )
+        return self._pack
+
+    def init_carry(self, state: ParticleState) -> GridCarry:
+        slab, overflow = self._pack_jit()(state.pos, state.vel)
+        if int(overflow):
+            raise RuntimeError(
+                f"initial bin occupancy exceeds grid3_capacity "
+                f"{self.capacity} by {int(overflow)}; raise grid3_capacity"
+            )
+        return GridCarry(slab, jnp.zeros((), jnp.int32), Monitors.zeros())
+
+    def frame_of(self, carry: GridCarry):
+        pos, _ = grid3d_ops.slab3_to_particles(
+            carry.slab, self.geom, self.config.num_parts
+        )
+        return pos
+
+    def final_state(self, carry: GridCarry) -> ParticleState:
+        pos, vel = grid3d_ops.slab3_to_particles(
+            carry.slab, self.geom, self.config.num_parts
+        )
+        return ParticleState(pos, vel)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@register_engine
+class Pallas3DEngine(Grid3DEngine):
+    name = "pallas3d"
+    supported_ndim = (3,)
+
+    def __init__(self, config, interpret: bool | None = None):
+        super().__init__(config)
+        self.interpret = (not _on_tpu()) if interpret is None else interpret
+
+    def move_phase(self, slab: Slab3State):
+        from ppsim_tpu.ops.pallas_grid3d import grid3_step_pallas
+
+        cfg = self.config
+        xl, yl, zl, vx, vy, vz = grid3_step_pallas(
+            slab.xl, slab.yl, slab.zl, slab.vx, slab.vy, slab.vz, self.geom,
+            cfg.cutoff, cfg.min_r, cfg.mass, cfg.dt, cfg.size,
+            interpret=self.interpret,
+            law=cfg.force_law, law_params=cfg.law_params,
+        )
+        max_speed = jnp.sqrt((vx * vx + vy * vy + vz * vz).max())
+        return Slab3State(xl, yl, zl, vx, vy, vz, slab.pid), max_speed

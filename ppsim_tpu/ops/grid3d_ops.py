@@ -1,0 +1,391 @@
+"""Dense 3D slab-grid: the stretch-config state layout (TPU-native 3D).
+
+The reference is strictly 2D; the declared stretch config (BASELINE.json
+configs[4]) is a 3D Lennard-Jones variant with neighbor lists at n=20M. This
+module generalizes the 2D slab grid (ops/grid_ops.py) to three dimensions
+in the TPU-natural way:
+
+- Fields ``xl, yl, zl, vx, vy, vz`` are laid out ``(capacity, Y, X, Z)``:
+  one (X, Z) register-tile plane per (slot, y-slab). X maps to sublanes
+  (padded to 8), Z to lanes (padded to 128), and **y is the outer blocked
+  axis** — the Mosaic kernel walks y-slabs the way the 2D kernel walks row
+  blocks, and the sharded decomposition strips over y exactly like the 2D
+  strip-over-x (the reference's MPI rows, part2/mpi.cpp:258-294).
+- The 3x3x3 stencil is 27 dense shifted planes: y +-1 crosses slabs
+  (neighbor block / halo), x +-1 is a sublane roll, z +-1 a lane roll, all
+  with physical-edge masks. No gathers, no atomics — the 2D design's
+  invariants (BIG-sentinel empty slots, bin-local coordinates, lazy rebin
+  cadence with monitored slack) carry over unchanged.
+- The 27-direction loss-free rebin shuffle reuses the 2D acceptance design
+  (destination-budget acceptance from shared count planes, deterministic
+  global priority, rejected leavers defer) — see grid_ops.grid_rebin's
+  docstring for the contract.
+
+The capacity-padded cell slots rebuilt on the rebin cadence ARE the 3D
+neighbor list (a cell-granular Verlet list with static shapes), the same
+claim as engines/binned3d.py but in the dense flagship layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ppsim_tpu.ops.binning import BIG
+from ppsim_tpu.ops.grid_ops import RebinMonitors
+
+__all__ = [
+    "Geometry3S",
+    "Slab3State",
+    "DIRS3",
+    "slab3_from_particles",
+    "slab3_to_particles",
+    "grid3_force_xla",
+    "grid3_move",
+    "grid3_rebin",
+]
+
+# Direction codes: d = ((dy+1)*3 + (dx+1))*3 + (dz+1); 13 = stay.
+DIRS3 = [
+    (dy, dx, dz)
+    for dy in (-1, 0, 1)
+    for dx in (-1, 0, 1)
+    for dz in (-1, 0, 1)
+]
+STAY3 = 13
+
+
+@dataclasses.dataclass(frozen=True)
+class Geometry3S:
+    ys: int  # y bins (outer blocked axis; the shard-strip axis)
+    xs: int  # x bins (sublane axis)
+    zs: int  # z bins (lane axis)
+    xs_pad: int
+    zs_pad: int
+    capacity: int
+    bin_size: float
+
+    @classmethod
+    def for_config(cls, config, sublane: int = 8, lane: int = 128) -> "Geometry3S":
+        n = config.grid3_bins_per_side
+        return cls(
+            ys=n, xs=n, zs=n,
+            xs_pad=-(-n // sublane) * sublane,
+            zs_pad=-(-n // lane) * lane,
+            capacity=config.grid3_capacity,
+            bin_size=config.grid3_bin_size,
+        )
+
+    @property
+    def shape(self):
+        return (self.capacity, self.ys, self.xs_pad, self.zs_pad)
+
+
+class Slab3State(NamedTuple):
+    xl: jax.Array  # (cap, Y, X, Z) bin-local x, BIG where empty
+    yl: jax.Array
+    zl: jax.Array
+    vx: jax.Array
+    vy: jax.Array
+    vz: jax.Array
+    pid: jax.Array  # int32, -1 where empty
+
+
+# ----------------------------------------------------------------- packing
+def slab3_from_particles(pos, vel, geom: Geometry3S):
+    """Pack an (N, 3) particle list into the 3D slab grid (init path).
+
+    Same sort+rank+scatter as the 2D packer (grid_ops.slab_from_particles).
+    Returns (Slab3State, overflow_count).
+    """
+    from ppsim_tpu.ops.binning import sort_by_bin
+
+    pos = jnp.asarray(pos, jnp.float32)
+    vel = jnp.asarray(vel, jnp.float32)
+    bs = jnp.float32(geom.bin_size)
+    inv = jnp.float32(1.0 / geom.bin_size)
+    bx = jnp.clip((pos[:, 0] * inv).astype(jnp.int32), 0, geom.xs - 1)
+    by = jnp.clip((pos[:, 1] * inv).astype(jnp.int32), 0, geom.ys - 1)
+    bz = jnp.clip((pos[:, 2] * inv).astype(jnp.int32), 0, geom.zs - 1)
+    bin_id = (by * geom.xs_pad + bx) * geom.zs_pad + bz
+
+    order, sorted_id, rank = sort_by_bin(bin_id)
+    plane = geom.ys * geom.xs_pad * geom.zs_pad
+    nslots = geom.capacity * plane
+    flat = jnp.where(rank < geom.capacity, rank * plane + sorted_id, nslots)
+
+    xz = geom.xs_pad * geom.zs_pad
+    yy = (sorted_id // xz).astype(jnp.float32)
+    xx = ((sorted_id % xz) // geom.zs_pad).astype(jnp.float32)
+    zz = (sorted_id % geom.zs_pad).astype(jnp.float32)
+
+    def scatter(vals, fill, dtype):
+        out = jnp.full((nslots,), fill, dtype)
+        return out.at[flat].set(vals.astype(dtype), mode="drop").reshape(geom.shape)
+
+    state = Slab3State(
+        scatter(pos[order, 0] - xx * bs, BIG, jnp.float32),
+        scatter(pos[order, 1] - yy * bs, BIG, jnp.float32),
+        scatter(pos[order, 2] - zz * bs, BIG, jnp.float32),
+        scatter(vel[order, 0], 0.0, jnp.float32),
+        scatter(vel[order, 1], 0.0, jnp.float32),
+        scatter(vel[order, 2], 0.0, jnp.float32),
+        scatter(order.astype(jnp.int32), -1, jnp.int32),
+    )
+    overflow = jnp.maximum(rank.max() + 1 - geom.capacity, 0).astype(jnp.int32)
+    return state, overflow
+
+
+def _offsets(geom: Geometry3S, shape, y0=0):
+    """Global (x, y, z) bin-origin offsets for every slot-plane element.
+    ``y0``: global index of the first y slab (sharded strips)."""
+    bs = jnp.float32(geom.bin_size)
+    nd = len(shape)
+    y = y0 + jax.lax.broadcasted_iota(jnp.int32, shape, nd - 3)
+    x = jax.lax.broadcasted_iota(jnp.int32, shape, nd - 2)
+    z = jax.lax.broadcasted_iota(jnp.int32, shape, nd - 1)
+    return (
+        x.astype(jnp.float32) * bs,
+        y.astype(jnp.float32) * bs,
+        z.astype(jnp.float32) * bs,
+    )
+
+
+def slab3_to_particles(state: Slab3State, geom: Geometry3S, num_parts: int):
+    """Scatter slab state back to id-ordered (N, 3) pos/vel arrays."""
+    xo, yo, zo = _offsets(geom, state.xl.shape)
+    alive = state.pid >= 0
+    gx = jnp.where(alive, state.xl + xo, BIG)
+    gy = jnp.where(alive, state.yl + yo, BIG)
+    gz = jnp.where(alive, state.zl + zo, BIG)
+    flat_pid = state.pid.reshape(-1)
+    idx = jnp.where(flat_pid >= 0, flat_pid, num_parts)
+    pos = jnp.zeros((num_parts, 3), jnp.float32)
+    vel = jnp.zeros((num_parts, 3), jnp.float32)
+    for k, g in enumerate((gx, gy, gz)):
+        pos = pos.at[idx, k].set(g.reshape(-1), mode="drop")
+    for k, v in enumerate((state.vx, state.vy, state.vz)):
+        vel = vel.at[idx, k].set(v.reshape(-1), mode="drop")
+    return pos, vel
+
+
+# ------------------------------------------------------------------- shift
+def _shifted3(f, dy: int, dx: int, dz: int, geom: Geometry3S, fill=BIG):
+    """Element (y, x, z) sees f at bin (y+dy, x+dx, z+dz); out-of-grid (or
+    into the x/z padding) -> fill."""
+    nd = f.ndim
+    rolled = jnp.roll(f, (-dy, -dx, -dz), axis=(nd - 3, nd - 2, nd - 1))
+    if dy:
+        y = jax.lax.broadcasted_iota(jnp.int32, f.shape, nd - 3)
+        rolled = jnp.where(y == (geom.ys - 1 if dy == 1 else 0), fill, rolled)
+    if dx:
+        x = jax.lax.broadcasted_iota(jnp.int32, f.shape, nd - 2)
+        edge = min(geom.xs - 1, f.shape[nd - 2] - 1) if dx == 1 else 0
+        rolled = jnp.where(x == edge, fill, rolled)
+    if dz:
+        z = jax.lax.broadcasted_iota(jnp.int32, f.shape, nd - 1)
+        edge = min(geom.zs - 1, f.shape[nd - 1] - 1) if dz == 1 else 0
+        rolled = jnp.where(z == edge, fill, rolled)
+    return rolled
+
+
+# ------------------------------------------------------------------- force
+def grid3_force_xla(xl, yl, zl, geom: Geometry3S, coef_of):
+    """XLA 27-plane stencil force; ``coef_of(r2) -> coef`` is the force-law
+    seam (physics.coef_from_r2 / lj_coef_from_r2 partials)."""
+    cap = geom.capacity
+    bs = geom.bin_size
+    ax = jnp.zeros_like(xl)
+    ay = jnp.zeros_like(yl)
+    az = jnp.zeros_like(zl)
+    for dy, dx, dz in DIRS3:
+        xn_all = _shifted3(xl, dy, dx, dz, geom)
+        yn_all = _shifted3(yl, dy, dx, dz, geom)
+        zn_all = _shifted3(zl, dy, dx, dz, geom)
+        offx = jnp.float32(dx * bs)
+        offy = jnp.float32(dy * bs)
+        offz = jnp.float32(dz * bs)
+
+        def body(j, acc, xn_all=xn_all, yn_all=yn_all, zn_all=zn_all,
+                 offx=offx, offy=offy, offz=offz):
+            ax, ay, az = acc
+            xn = jax.lax.dynamic_index_in_dim(xn_all, j, 0, keepdims=True) + offx
+            yn = jax.lax.dynamic_index_in_dim(yn_all, j, 0, keepdims=True) + offy
+            zn = jax.lax.dynamic_index_in_dim(zn_all, j, 0, keepdims=True) + offz
+            ddx = xn - xl
+            ddy = yn - yl
+            ddz = zn - zl
+            coef = coef_of(ddx * ddx + ddy * ddy + ddz * ddz)
+            return ax + coef * ddx, ay + coef * ddy, az + coef * ddz
+
+        ax, ay, az = jax.lax.fori_loop(0, cap, body, (ax, ay, az))
+    return ax, ay, az
+
+
+# -------------------------------------------------------------------- move
+def grid3_move(state: Slab3State, accel, geom: Geometry3S, dt, size, y0=0):
+    """Verlet + wall reflection on the 3D slab grid (3-axis analog of
+    grid_ops.grid_move; reference integrator: part1/serial.cpp:44-61)."""
+    ax, ay, az = accel
+    alive = state.pid >= 0
+    dtf = jnp.float32(dt)
+    L = jnp.float32(size)
+
+    vx = jnp.where(alive, state.vx + ax * dtf, 0.0)
+    vy = jnp.where(alive, state.vy + ay * dtf, 0.0)
+    vz = jnp.where(alive, state.vz + az * dtf, 0.0)
+    xl = state.xl + vx * dtf
+    yl = state.yl + vy * dtf
+    zl = state.zl + vz * dtf
+
+    xo, yo, zo = _offsets(geom, xl.shape, y0=y0)
+
+    def reflect(local, off, v):
+        g = local + off
+        out = (g < 0.0) | (g > L)
+        m = jnp.mod(g, 2.0 * L)
+        folded = L - jnp.abs(m - L)
+        local = jnp.where(out, folded - off, local)
+        v = jnp.where(out & (m > L), -v, v)
+        return local, v
+
+    xl, vx = reflect(xl, xo, vx)
+    yl, vy = reflect(yl, yo, vy)
+    zl, vz = reflect(zl, zo, vz)
+
+    xl = jnp.where(alive, xl, BIG)
+    yl = jnp.where(alive, yl, BIG)
+    zl = jnp.where(alive, zl, BIG)
+    speed2 = jnp.where(alive, vx * vx + vy * vy + vz * vz, 0.0)
+    return (
+        Slab3State(xl, yl, zl, vx, vy, vz, state.pid),
+        jnp.sqrt(speed2.max()),
+    )
+
+
+# ------------------------------------------------------------------- rebin
+def slab3_dirs(state: Slab3State, geom: Geometry3S, y0=0):
+    """Per-slot movement direction per axis, clamped to one hop and to the
+    physical grid, plus the far-move flag (3-axis slab_dirs)."""
+    inv_bs = jnp.float32(1.0 / geom.bin_size)
+    alive = state.pid >= 0
+
+    def raw(local):
+        d = jnp.floor(local * inv_bs).astype(jnp.int32)
+        return jnp.where(alive, d, 0)
+
+    dx_r, dy_r, dz_r = raw(state.xl), raw(state.yl), raw(state.zl)
+    far = alive & (
+        (jnp.abs(dx_r) > 1) | (jnp.abs(dy_r) > 1) | (jnp.abs(dz_r) > 1)
+    )
+    shape = dx_r.shape
+    y = y0 + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    x = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    z = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+    dy = jnp.clip(jnp.clip(dy_r, -1, 1),
+                  -jnp.minimum(y, 1), jnp.minimum(geom.ys - 1 - y, 1))
+    dx = jnp.clip(jnp.clip(dx_r, -1, 1),
+                  -jnp.minimum(x, 1), jnp.minimum(geom.xs - 1 - x, 1))
+    dz = jnp.clip(jnp.clip(dz_r, -1, 1),
+                  -jnp.minimum(z, 1), jnp.minimum(geom.zs - 1 - z, 1))
+    dx = jnp.where(alive, dx, 0)
+    dy = jnp.where(alive, dy, 0)
+    dz = jnp.where(alive, dz, 0)
+    return dy, dx, dz, far, alive
+
+
+def grid3_rebin(state: Slab3State, geom: Geometry3S, evac_cap: int, y0=0):
+    """Loss-free 27-direction dense shuffle — the 3D twin of
+    grid_ops.grid_rebin (same acceptance contract, see its docstring)."""
+    cap = geom.capacity
+    bs = jnp.float32(geom.bin_size)
+    diry, dirx, dirz, far, alive = slab3_dirs(state, geom, y0=y0)
+    dcode = ((diry + 1) * 3 + (dirx + 1)) * 3 + (dirz + 1)
+
+    counts = []
+    for d, (dy, dx, dz) in enumerate(DIRS3):
+        if d == STAY3:
+            counts.append(jnp.where(alive, 1.0, 0.0).sum(axis=0))
+        else:
+            m = alive & (dcode == d)
+            counts.append(jnp.where(m, 1.0, 0.0).sum(axis=0))
+    F = jnp.float32(cap) - counts[STAY3]  # pre-rebin empty slots per bin
+
+    off = {}
+    acc = jnp.zeros(counts[0].shape, jnp.float32)
+    for d, (dy, dx, dz) in enumerate(DIRS3):
+        if d == STAY3:
+            continue
+        off[d] = acc
+        acc = acc + _shifted3(counts[d], -dy, -dx, -dz, geom, fill=0.0)
+
+    xl_re = state.xl - dirx.astype(jnp.float32) * bs
+    yl_re = state.yl - diry.astype(jnp.float32) * bs
+    zl_re = state.zl - dirz.astype(jnp.float32) * bs
+    fields = (xl_re, yl_re, zl_re, state.vx, state.vy, state.vz)
+    FILLS = (BIG, BIG, BIG, 0.0, 0.0, 0.0)
+
+    outs = [[f[s] for s in range(cap)]
+            for f in (state.xl, state.yl, state.zl,
+                      state.vx, state.vy, state.vz, state.pid)]
+
+    is_empty = state.pid < 0
+    empty_rank = (
+        jnp.cumsum(jnp.where(is_empty, 1.0, 0.0), axis=0)
+        - jnp.where(is_empty, 1.0, 0.0)
+    )
+
+    deferred = jnp.zeros((), jnp.int32)
+    for d, (dy, dx, dz) in enumerate(DIRS3):
+        if d == STAY3:
+            continue
+        mask = alive & (dcode == d)
+        off_at_dest = _shifted3(off[d], dy, dx, dz, geom, fill=0.0)
+        F_at_dest = _shifted3(F, dy, dx, dz, geom, fill=0.0)
+        rank = jnp.zeros(mask.shape[1:], jnp.float32)
+        accepted = []
+        for j in range(cap):
+            mj = mask[j]
+            acc_j = mj & (rank < float(evac_cap)) & (off_at_dest + rank < F_at_dest)
+            accepted.append((acc_j, rank))
+            rank = rank + jnp.where(mj, 1.0, 0.0)
+        for j in range(cap):
+            acc_j, _ = accepted[j]
+            for k in range(6):
+                outs[k][j] = jnp.where(acc_j, FILLS[k], outs[k][j])
+            outs[6][j] = jnp.where(acc_j, -1, outs[6][j])
+            deferred = deferred + ((mask[j] & ~acc_j).astype(jnp.int32).sum())
+        for e in range(evac_cap):
+            evac = [jnp.full(mask.shape[1:], FILLS[k], jnp.float32)
+                    for k in range(6)]
+            epid = jnp.full(mask.shape[1:], -1, jnp.int32)
+            for j in range(cap):
+                acc_j, rank_j = accepted[j]
+                sel = acc_j & (rank_j == float(e))
+                for k in range(6):
+                    evac[k] = jnp.where(sel, fields[k][j], evac[k])
+                epid = jnp.where(sel, state.pid[j], epid)
+            cpid = _shifted3(epid, -dy, -dx, -dz, geom, fill=-1)
+            cflds = [
+                _shifted3(evac[k], -dy, -dx, -dz, geom, fill=FILLS[k])
+                for k in range(6)
+            ]
+            valid = cpid >= 0
+            idx = off[d] + float(e)
+            for s in range(cap):
+                sel = valid & is_empty[s] & (empty_rank[s] == idx)
+                for k in range(6):
+                    outs[k][s] = jnp.where(sel, cflds[k], outs[k][s])
+                outs[6][s] = jnp.where(sel, cpid, outs[6][s])
+
+    new_state = Slab3State(*(jnp.stack(o) for o in outs))
+    occupancy_planes = (new_state.pid >= 0).astype(jnp.int32)
+    occupancy = occupancy_planes.sum(axis=0).max()
+    lost = alive.astype(jnp.int32).sum() - occupancy_planes.sum()
+    dropped = (lost + far.astype(jnp.int32).sum()).astype(jnp.int32)
+    return new_state, RebinMonitors(
+        occupancy.astype(jnp.int32), dropped, deferred
+    )

@@ -1,0 +1,76 @@
+"""3D dense slab-grid engines (grid3d / pallas3d): parity with the 3D
+oracle, kernel parity, and conservation through the 27-direction rebin."""
+
+import numpy as np
+import pytest
+
+from ppsim_tpu.config import SimConfig
+from ppsim_tpu.engines import get_engine
+from ppsim_tpu.initlib import init_particles
+
+BASE3 = dict(ndim=3, density=7e-6, grid3_capacity=8, evac_capacity=2,
+             rebin_every=4)
+
+
+@pytest.fixture
+def cfg3():
+    return SimConfig(num_parts=500, **BASE3)
+
+
+def _one_plain_step(engine, state):
+    """One force+move step, skipping the rebin program (the 27-direction
+    shuffle costs ~8 min of XLA CPU compile; the fast suite exercises it
+    nowhere near that budget — the slow trajectory tests cover it)."""
+    import jax
+
+    carry = engine.init_carry(state)
+    carry = jax.jit(engine.step_plain)(carry)
+    return engine.final_state_jit(carry)
+
+
+def test_grid3d_one_step_matches_oracle(cfg3):
+    state = init_particles(cfg3, seed=42, method="fast")
+    s1 = get_engine("oracle", cfg3).step_state(state)
+    s2 = _one_plain_step(get_engine("grid3d", cfg3), state)
+    np.testing.assert_allclose(
+        np.asarray(s1.pos), np.asarray(s2.pos), atol=5e-7
+    )
+
+
+def test_pallas3d_interpret_matches_grid3d(cfg3):
+    """The symmetric 3D Mosaic kernel against its XLA twin (fast-suite
+    flagship-3D coverage; f32 summation order differs, so allclose)."""
+    cfg = SimConfig(num_parts=250, **BASE3)
+    state = init_particles(cfg, seed=42, method="fast")
+    s1 = _one_plain_step(get_engine("grid3d", cfg), state)
+    s2 = _one_plain_step(get_engine("pallas3d", cfg), state)
+    np.testing.assert_allclose(
+        np.asarray(s1.pos), np.asarray(s2.pos), atol=1e-7
+    )
+
+
+@pytest.mark.slow
+def test_grid3d_trajectory_matches_oracle(cfg3):
+    state = init_particles(cfg3, seed=42, method="fast")
+    r1 = get_engine("oracle", cfg3).run(state, nsteps=16)
+    eng = get_engine("grid3d", cfg3)
+    r2 = eng.run(state, nsteps=16)
+    eng.check(r2)
+    np.testing.assert_allclose(
+        np.asarray(r1.state.pos), np.asarray(r2.state.pos), atol=5e-5
+    )
+    pos = np.asarray(r2.state.pos)
+    assert pos.min() >= 0.0 and pos.max() <= cfg3.size
+
+
+@pytest.mark.slow
+def test_grid3d_lj_matches_oracle():
+    """The full stretch config: 3D + truncated Lennard-Jones through the
+    dense slab engine (BASELINE.json configs[4])."""
+    cfg = SimConfig(num_parts=400, force_law="lj", dt=1e-4, **BASE3)
+    state = init_particles(cfg, seed=7, method="fast")
+    r1 = get_engine("oracle", cfg).run(state, nsteps=12)
+    r2 = get_engine("grid3d", cfg).run(state, nsteps=12)
+    np.testing.assert_allclose(
+        np.asarray(r1.state.pos), np.asarray(r2.state.pos), atol=5e-5
+    )
