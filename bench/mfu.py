@@ -93,32 +93,38 @@ def vpu_peak_flops(iters: int = 256, rows: int = 4096, cols: int = 1024,
 
 
 # ----------------------------------------------------------- HBM bandwidth
-def hbm_stream_bw(mb: int = 512) -> float:
-    """Streaming bytes/s: XLA saxpy (read x, write y) over an HBM array.
+def hbm_stream_bw(mb: int = 1024, calls: int = 16) -> float:
+    """Streaming bytes/s via an explicit Pallas copy kernel (read + write).
 
-    The saxpy output is a real (unfetched) device array, so the write is
-    materialized; only the reduction scalar crosses the slow relay tunnel.
-    (Returning ``y[0]`` instead lets XLA narrow the whole saxpy to one
-    element and the "bandwidth" becomes pure dispatch latency.)"""
+    XLA-side attempts are unusable here: chained saxpies fuse into one
+    pass (inflating the byte count) and slice-returns narrow the whole
+    computation to one element (measuring dispatch latency). A pallas_call
+    copy has a fixed read+write per block; chaining ``calls`` of them
+    amortizes the relay dispatch latency.
+    """
     n = mb * 1024 * 1024 // 4
-    x = jnp.ones((n,), jnp.float32)
+    rows, cols = n // 2048, 2048
+    x = jnp.ones((rows, cols), jnp.float32)
 
-    reps = 48  # amortize the ~25-50 ms relay dispatch latency per fetch
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...] + 1.0
+
+    spec = pl.BlockSpec((512, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     @jax.jit
     def run(x):
+        f = pl.pallas_call(
+            kernel, grid=(rows // 512,), in_specs=[spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        )
         y = x
-        for _ in range(reps):
-            y = y * 1.000001 + x  # read y + x? (x stays cached) -> count y rw
-        return y, y[::65536].sum()
+        for _ in range(calls):
+            y = f(y)
+        return y[0, 0]
 
-    def fetch():
-        y, s = run(x)
-        return _sync_scalar(s)
-
-    fetch()
-    t = _best(fetch)
-    return reps * 2 * n * 4 / t  # read + write per rep
+    _sync_scalar(run(x))
+    t = _best(lambda: _sync_scalar(run(x)))
+    return calls * 2 * n * 4 / t
 
 
 # ------------------------------------------------------------- step kernel

@@ -57,7 +57,8 @@ def main(argv=None) -> int:
         fig.savefig(f"{args.outdir}/linear.png", dpi=120)
 
     # ---- device scaling --------------------------------------------------
-    sharded = [r for r in records if r.get("num_devices", 1) > 1 or r["engine"] == "sharded"]
+    sharded = [r for r in records if r.get("num_devices", 1) > 1
+               or r["engine"].startswith("sharded")]
     strong = collections.defaultdict(list)
     weak = collections.defaultdict(list)
     for r in sharded:

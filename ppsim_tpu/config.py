@@ -104,6 +104,10 @@ class SimConfig:
     # (same deferral backpressure as 2D).
     grid3_bin_scale: float = 3.0
     grid3_capacity: int = 10
+    # 3D rebin cadence: the 3D slack (grid3_bin_size - cutoff)/2 = 0.01 is
+    # half the 2D default's, so the cadence halves too (drift bound
+    # rebin3_every * max|v| * dt <= slack; max|v| ~ 3.8 observed at 1M).
+    rebin3_every: int = 4
     # Rebin cadence in steps. Stale binning stays correct while accumulated
     # drift satisfies rebin_every * max|v| * dt <= (bin_side - cutoff) / 2;
     # monitored at runtime via max_speed.

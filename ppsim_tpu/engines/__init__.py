@@ -20,9 +20,11 @@ Here the seam is :class:`ppsim_tpu.engines.base.Engine`; backends:
   per shard, row-strip sharding, ghost-row halo + count-plane migration
 - ``binned3d`` — 3D cell-list engine (3x3x3 stencil, rebuild-per-step
   neighbor candidates); the stretch-config dimension (ndim=3, either law)
-- ``grid3d`` / ``pallas3d`` — 3D dense slab-grid engines (rows = x, the
-  (y, z) plane in lanes): the stretch config in the flagship layout, with
-  the symmetric Mosaic step kernel on ``pallas3d``
+- ``grid3d`` / ``pallas3d`` — 3D dense slab-grid engines ((cap, Y, X, Z)
+  layout): the stretch config in the flagship layout, with the symmetric
+  Mosaic step kernel on ``pallas3d``
+- ``sharded_grid3d`` — multi-chip 3D: y-strip decomposition, ppermute
+  ghost-slab halo, cross-shard migration through the extended rebin
 """
 
 from ppsim_tpu.engines.base import Engine, RunResult, get_engine, register_engine
@@ -35,5 +37,6 @@ from ppsim_tpu.engines import grid as _grid  # noqa: F401
 from ppsim_tpu.engines import sharded_grid as _sharded_grid  # noqa: F401
 from ppsim_tpu.engines import binned3d as _binned3d  # noqa: F401
 from ppsim_tpu.engines import grid3d as _grid3d  # noqa: F401
+from ppsim_tpu.engines import sharded_grid3d as _sharded_grid3d  # noqa: F401
 
 __all__ = ["Engine", "RunResult", "get_engine", "register_engine"]

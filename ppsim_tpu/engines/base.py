@@ -121,7 +121,8 @@ class Engine:
         if config.ndim not in self.supported_ndim:
             raise ValueError(
                 f"engine {self.name!r} supports ndim in {self.supported_ndim}, "
-                f"got ndim={config.ndim}; 3D engines: oracle, binned3d"
+                f"got ndim={config.ndim}; 3D engines: oracle, binned3d, "
+                "grid3d, pallas3d"
             )
         self.config = config
         self._programs: Dict[Any, Any] = {}

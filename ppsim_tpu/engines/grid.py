@@ -52,6 +52,11 @@ class GridEngine(Engine):
     def capacity(self) -> int:
         return self.config.grid_capacity
 
+    @property
+    def rebin_every(self) -> int:
+        """Rebin cadence the run driver schedules (3D engines override)."""
+        return self.config.rebin_every
+
     def accel_of(self, xl, yl):
         from ppsim_tpu.physics import accel_fn_for
 
@@ -121,7 +126,7 @@ class GridEngine(Engine):
 
         step = carry.step + 1
         slab, rmon = jax.lax.cond(
-            step % cfg.rebin_every == 0, do_rebin, no_rebin, slab
+            step % self.rebin_every == 0, do_rebin, no_rebin, slab
         )
 
         monitors = carry.monitors.merge(
@@ -141,7 +146,7 @@ class GridEngine(Engine):
         path run the exact same step code (round-1 verdict: the traced-cond
         fallback was a separate, never-benchmarked program).
         """
-        K = self.config.rebin_every
+        K = self.rebin_every
 
         def plain_scan(c, length):
             if length <= 0:

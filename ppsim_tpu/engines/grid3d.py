@@ -5,9 +5,10 @@
                (ops/pallas_grid3d.py) on the force+move path.
 
 The 2D slab architecture carries over wholesale (see ops/grid3d_ops.py for
-the layout): rows are still x (the strip/shard axis), the (y, z) plane
-flattens into lanes, and the statically-scheduled run driver, rebin cadence,
-and monitors are inherited from the 2D GridEngine unchanged. Both force laws
+the layout): fields are (capacity, Y, X, Z) with y the blocked/shard axis
+(x sublanes, z lanes), and the statically-scheduled run driver, monitors,
+and save path are inherited from the 2D GridEngine unchanged (the rebin
+cadence is ``rebin3_every``: 3D slack is half the 2D default's). Both force laws
 plug in through the same seam; the full stretch config
 (BASELINE.json configs[4]) is ``SimConfig(ndim=3, force_law="lj")`` with
 ``--engine grid3d`` or ``pallas3d``.
@@ -56,6 +57,10 @@ class Grid3DEngine(GridEngine):
     def capacity(self) -> int:
         return self.config.grid3_capacity
 
+    @property
+    def rebin_every(self) -> int:
+        return self.config.rebin3_every
+
     def check(self, result: RunResult) -> None:
         cfg = self.config
         mx = int(result.monitors.max_bin_count)
@@ -67,7 +72,7 @@ class Grid3DEngine(GridEngine):
             raise RuntimeError(
                 f"{int(result.monitors.migrate_dropped)} particles dropped"
             )
-        drift = cfg.rebin_every * float(result.monitors.max_speed) * cfg.dt
+        drift = self.rebin_every * float(result.monitors.max_speed) * cfg.dt
         slack = (cfg.grid3_bin_size - cfg.cutoff) / 2.0
         if drift > slack:
             raise RuntimeError(

@@ -1,0 +1,184 @@
+"""Multi-chip 3D slab-grid engine: y-strip decomposition over a 1-D mesh.
+
+The 3D twin of engines/sharded_grid.py: the (capacity, Y, X, Z) slab fields
+shard over y (the blocked axis), each device owns a contiguous y-strip, and
+per step one boundary y-slab moves to each neighbor by ``lax.ppermute`` over
+ICI — the same strip/halo architecture as the reference's MPI rows
+(part2/mpi.cpp:258-294) rotated into the 3D layout.
+
+Current implementation is the XLA-twin path (ghost-slab extension + the
+grid3 twin ops per shard, exactly the 2D ``impl="xla"`` design):
+
+- force: 1 ghost y-slab each side, 27-plane stencil on the extension;
+- rebin: 2 ghost y-slabs of every field — the acceptance predicate at a
+  destination needs its full 3x3x3 count neighborhood, so both neighbors
+  compute identical transfer decisions from identical overlapping data
+  (no handshake; see sharded_grid.ShardedGridEngine._local_rebin_xla).
+
+The per-shard Mosaic kernel variant (ghost slabs entering
+ops/pallas_grid3d.py the way 2D ghosts enter the 2D kernel) is the next
+step; the decomposition, transport, and migration logic here are final.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ppsim_tpu.config import SimConfig
+from ppsim_tpu.engines.base import Monitors, register_engine
+from ppsim_tpu.engines.grid import GridCarry
+from ppsim_tpu.engines.grid3d import Grid3DEngine, _coef_of
+from ppsim_tpu.ops import grid3d_ops
+from ppsim_tpu.ops.binning import BIG
+from ppsim_tpu.ops.grid3d_ops import Slab3State
+from ppsim_tpu.state import ParticleState
+
+__all__ = ["ShardedGrid3DEngine"]
+
+_FILLS = (BIG, BIG, BIG, 0.0, 0.0, 0.0, -1)
+
+
+@register_engine
+class ShardedGrid3DEngine(Grid3DEngine):
+    name = "sharded_grid3d"
+    supported_ndim = (3,)
+
+    def __init__(
+        self,
+        config: SimConfig,
+        devices: Optional[Sequence[jax.Device]] = None,
+    ):
+        super().__init__(config)
+        devices = list(devices) if devices is not None else jax.devices()
+        self.mesh = Mesh(np.array(devices), axis_names=("x",))
+        self.P = len(devices)
+        base = self.geom
+        ys_local = -(-base.ys // self.P)
+        self.ys_local = ys_local
+        self.geom = dataclasses.replace(base, ys=self.P * ys_local)
+
+        spec = P(None, "x", None, None)
+        self._plain_step = jax.shard_map(
+            self._local_plain,
+            mesh=self.mesh,
+            in_specs=(spec,) * 7,
+            out_specs=((spec,) * 6) + (P(),),
+            check_vma=False,
+        )
+        self._rebin_step = jax.shard_map(
+            self._local_move_rebin,
+            mesh=self.mesh,
+            in_specs=(spec,) * 7,
+            out_specs=((spec,) * 7) + (P(),) * 4,
+            check_vma=False,
+        )
+
+    # ------------------------------------------------------------- plumbing
+    def _from_above(self, x, fill):
+        perm = [(i, i + 1) for i in range(self.P - 1)]
+        out = jax.lax.ppermute(x, "x", perm)
+        return jnp.where(jax.lax.axis_index("x") == 0, fill, out)
+
+    def _from_below(self, x, fill):
+        perm = [(i + 1, i) for i in range(self.P - 1)]
+        out = jax.lax.ppermute(x, "x", perm)
+        return jnp.where(jax.lax.axis_index("x") == self.P - 1, fill, out)
+
+    def _halo(self, f, fill, halo: int):
+        """(top, bot) ghost y-slab blocks from both strip neighbors."""
+        top = self._from_above(f[:, -halo:], jnp.full_like(f[:, -halo:], fill))
+        bot = self._from_below(f[:, :halo], jnp.full_like(f[:, :halo], fill))
+        return top, bot
+
+    def _extend(self, state: Slab3State, halo: int) -> Slab3State:
+        fields = []
+        for f, fill in zip(state, _FILLS):
+            t, b = self._halo(f, fill, halo)
+            fields.append(jnp.concatenate([t, f, b], axis=1))
+        return Slab3State(*fields)
+
+    # ---------------------------------------------------------- local steps
+    def _local_plain(self, xl, yl, zl, vx, vy, vz, pid):
+        cfg = self.config
+        y0 = jax.lax.axis_index("x") * self.ys_local
+        state = Slab3State(xl, yl, zl, vx, vy, vz, pid)
+        ext = self._extend(state, 1)
+        ax, ay, az = grid3d_ops.grid3_force_xla(
+            ext.xl, ext.yl, ext.zl, self.geom, _coef_of(cfg)
+        )
+        accel = (ax[:, 1:-1], ay[:, 1:-1], az[:, 1:-1])
+        new, max_speed = grid3d_ops.grid3_move(
+            state, accel, self.geom, cfg.dt, cfg.size, y0=y0
+        )
+        max_speed = jax.lax.pmax(max_speed, "x")
+        return (new.xl, new.yl, new.zl, new.vx, new.vy, new.vz, max_speed)
+
+    def _local_move_rebin(self, xl, yl, zl, vx, vy, vz, pid):
+        cfg = self.config
+        nxl, nyl, nzl, nvx, nvy, nvz, max_speed = self._local_plain(
+            xl, yl, zl, vx, vy, vz, pid
+        )
+        state = Slab3State(nxl, nyl, nzl, nvx, nvy, nvz, pid)
+        y0 = jax.lax.axis_index("x") * self.ys_local
+
+        ext = self._extend(state, 2)
+        new_ext, _ = grid3d_ops.grid3_rebin(
+            ext, self.geom, cfg.evac_capacity, y0=y0 - 2
+        )
+        new = Slab3State(*(f[:, 2:-2] for f in new_ext))
+
+        before = jax.lax.psum((state.pid >= 0).astype(jnp.int32).sum(), "x")
+        occ_planes = (new.pid >= 0).astype(jnp.int32)
+        after = jax.lax.psum(occ_planes.sum(), "x")
+        dy, dx, dz, far, alive2 = grid3d_ops.slab3_dirs(new, self.geom, y0=y0)
+        deferred = jax.lax.psum(
+            (alive2 & ((dy != 0) | (dx != 0) | (dz != 0))).astype(jnp.int32).sum(),
+            "x",
+        )
+        far_n = jax.lax.psum(far.astype(jnp.int32).sum(), "x")
+        occupancy = jax.lax.pmax(occ_planes.sum(axis=0).max(), "x")
+        dropped = (before - after) + far_n
+        return (new.xl, new.yl, new.zl, new.vx, new.vy, new.vz, new.pid,
+                occupancy.astype(jnp.int32), dropped.astype(jnp.int32),
+                deferred.astype(jnp.int32), max_speed)
+
+    # -------------------------------------------------------- engine hooks
+    def move_phase(self, slab: Slab3State):
+        out = self._plain_step(
+            slab.xl, slab.yl, slab.zl, slab.vx, slab.vy, slab.vz, slab.pid
+        )
+        return Slab3State(*out[:6], slab.pid), out[6]
+
+    def step_with_rebin(self, carry: GridCarry) -> GridCarry:
+        s = carry.slab
+        out = self._rebin_step(s.xl, s.yl, s.zl, s.vx, s.vy, s.vz, s.pid)
+        occ, dropped, deferred, max_speed = out[7:]
+        monitors = carry.monitors.merge(
+            Monitors(occ, dropped, max_speed, deferred)
+        )
+        return GridCarry(Slab3State(*out[:7]), carry.step + 1, monitors)
+
+    def rebin_of(self, slab):  # pragma: no cover - superclass cond path
+        raise NotImplementedError(
+            "sharded_grid3d runs rebins only on the statically-blocked path"
+        )
+
+    def step_carry(self, carry: GridCarry) -> GridCarry:
+        return jax.lax.cond(
+            (carry.step + 1) % self.rebin_every == 0,
+            self.step_with_rebin,
+            self.step_plain,
+            carry,
+        )
+
+    def init_carry(self, state: ParticleState) -> GridCarry:
+        carry = super().init_carry(state)
+        sh = NamedSharding(self.mesh, P(None, "x", None, None))
+        slab = Slab3State(*(jax.device_put(f, sh) for f in carry.slab))
+        return GridCarry(slab, carry.step, carry.monitors)

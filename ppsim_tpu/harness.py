@@ -46,13 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
     # Framework extensions
     p.add_argument("--engine", default="binned",
                    help="oracle | binned | grid | pallas | sharded | "
-                        "sharded_grid (default binned)")
+                        "sharded_grid | binned3d | grid3d | pallas3d "
+                        "(default binned; 3D engines need --ndim 3)")
     p.add_argument("--steps", type=int, default=None, help="override nsteps (default 1000)")
     p.add_argument("--savefreq", type=int, default=None, help="override savefreq (default 10)")
     p.add_argument("--dtype", default="float32", help="float32 | float64")
     p.add_argument("--ndim", type=int, default=2,
                    help="2 (reference physics) or 3 (stretch config; engines: "
-                        "oracle, binned3d)")
+                        "oracle, binned3d, grid3d, pallas3d)")
     p.add_argument("--density", type=float, default=None,
                    help="box measure per particle (default 0.0005; 3D runs "
                         "want ~7e-6 for comparable collision rates)")

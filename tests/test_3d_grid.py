@@ -9,7 +9,7 @@ from ppsim_tpu.engines import get_engine
 from ppsim_tpu.initlib import init_particles
 
 BASE3 = dict(ndim=3, density=7e-6, grid3_capacity=8, evac_capacity=2,
-             rebin_every=4)
+             rebin3_every=4)
 
 
 @pytest.fixture
@@ -74,3 +74,22 @@ def test_grid3d_lj_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(r1.state.pos), np.asarray(r2.state.pos), atol=5e-5
     )
+
+
+@pytest.mark.slow
+def test_sharded_grid3d_matches_grid3d():
+    """Multi-chip 3D: y-strip halo + cross-shard migration through the
+    extended rebin tracks the single-chip grid3d engine."""
+    import jax
+
+    from ppsim_tpu.engines.sharded_grid3d import ShardedGrid3DEngine
+
+    cfg = SimConfig(num_parts=600, **BASE3)
+    state = init_particles(cfg, seed=42, method="fast")
+    r1 = get_engine("grid3d", cfg).run(state, nsteps=12)
+    eng = ShardedGrid3DEngine(cfg, devices=jax.devices()[:4])
+    r2 = eng.run(state, nsteps=12)
+    np.testing.assert_allclose(
+        np.asarray(r1.state.pos), np.asarray(r2.state.pos), atol=2e-6
+    )
+    assert int(r2.monitors.migrate_dropped) == 0
