@@ -48,8 +48,14 @@ class Monitors(NamedTuple):
 
     @staticmethod
     def zeros() -> "Monitors":
-        z = jnp.zeros((), jnp.int32)
-        return Monitors(z, z, jnp.zeros((), jnp.float32), z)
+        # Distinct buffers on purpose: aliased leaves in a donated carry
+        # trip XLA's "donate the same buffer twice" check.
+        return Monitors(
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.int32),
+        )
 
     def merge(self, other: "Monitors") -> "Monitors":
         return Monitors(
@@ -203,11 +209,54 @@ class Engine:
             frames = extra if frames is None else jnp.concatenate([frames, extra])
         return carry, frames
 
-    def run(self, state: ParticleState, nsteps: Optional[int] = None, savefreq: int = 0) -> RunResult:
+    def _chunk_quantum(self, savefreq: int) -> int:
+        """Smallest chunk length that keeps every cadence phase-aligned
+        across chunk boundaries (grid engines also fold in the rebin
+        cadence)."""
+        return savefreq
+
+    def run(self, state: ParticleState, nsteps: Optional[int] = None,
+            savefreq: int = 0,
+            max_device_frame_bytes: int = 2 << 30) -> RunResult:
         """Run ``nsteps`` (default: config.nsteps); save frames every
-        ``savefreq`` steps (0 = never). Blocks until the device finishes."""
+        ``savefreq`` steps (0 = never). Blocks until the device finishes.
+
+        Saved runs whose frame stack would exceed ``max_device_frame_bytes``
+        on device are automatically CHUNKED: the compiled program covers a
+        phase-aligned slice of steps, frames stream to the host between
+        slices, and the carry stays device-resident throughout. The
+        reference streams every frame straight to disk (part1/main.cpp:
+        132-137); accumulating all frames in HBM — the natural lax.scan
+        formulation — would OOM a 20M-particle ``-o`` run (100 frames x
+        160 MB x ndim).
+        """
         nsteps = self.config.nsteps if nsteps is None else nsteps
         carry = self.init_carry(state)
+
+        if savefreq > 0:
+            frame_bytes = self.config.num_parts * self.config.ndim * 4
+            total_frames = max(1, nsteps // savefreq)
+            if total_frames * frame_bytes > max_device_frame_bytes:
+                quantum = max(1, self._chunk_quantum(savefreq))
+                per_chunk = max(1, max_device_frame_bytes // frame_bytes)
+                chunk = max(quantum, (per_chunk * savefreq) // quantum * quantum)
+                prog = self._program(chunk, savefreq)
+                frames_host = []
+                done = 0
+                while done + chunk <= nsteps:
+                    carry, frames = prog(carry)
+                    frames_host.append(np.asarray(frames))
+                    done += chunk
+                if done < nsteps:
+                    carry, frames = self._program(nsteps - done, savefreq)(carry)
+                    if frames is not None:
+                        frames_host.append(np.asarray(frames))
+                final = jax.block_until_ready(self.final_state_jit(carry))
+                monitors = jax.tree.map(np.asarray, self.monitors_of(carry))
+                return RunResult(
+                    final, np.concatenate(frames_host), monitors
+                )
+
         carry, frames = self._program(nsteps, savefreq)(carry)
         final = jax.block_until_ready(self.final_state_jit(carry))
         monitors = jax.tree.map(np.asarray, self.monitors_of(carry))

@@ -57,6 +57,10 @@ class GridEngine(Engine):
         """Rebin cadence the run driver schedules (3D engines override)."""
         return self.config.rebin_every
 
+    def _chunk_quantum(self, savefreq: int) -> int:
+        # Chunk boundaries must preserve both the save and rebin phases.
+        return math.lcm(savefreq, self.rebin_every)
+
     def accel_of(self, xl, yl):
         from ppsim_tpu.physics import accel_fn_for
 

@@ -89,7 +89,7 @@ class Grid3DEngine(GridEngine):
         return grid3d_ops.grid3_move(slab, accel, self.geom, cfg.dt, cfg.size)
 
     def rebin_of(self, slab):
-        return grid3d_ops.grid3_rebin(
+        return grid3d_ops.grid3_rebin_axes(
             slab, self.geom, self.config.evac_capacity
         )
 

@@ -127,8 +127,11 @@ class ShardedGrid3DEngine(Grid3DEngine):
         state = Slab3State(nxl, nyl, nzl, nvx, nvy, nvz, pid)
         y0 = jax.lax.axis_index("x") * self.ys_local
 
+        # Axis-factorized rebin: the x/z passes are strictly within-slab
+        # (identical on the ghost overlap by construction); only the final
+        # y pass crosses slabs and needs the 2-ghost-slab neighborhood.
         ext = self._extend(state, 2)
-        new_ext, _ = grid3d_ops.grid3_rebin(
+        new_ext, _ = grid3d_ops.grid3_rebin_axes(
             ext, self.geom, cfg.evac_capacity, y0=y0 - 2
         )
         new = Slab3State(*(f[:, 2:-2] for f in new_ext))

@@ -88,3 +88,21 @@ def test_sharded_grid_conserves_particles_long_run(grid_test_config):
     # loss, this checks the id-space is fully covered too.
     assert int(res.monitors.migrate_dropped) == 0
     assert pos.min() >= 0.0 and pos.max() <= cfg.size
+
+
+def test_chunked_saved_run_matches_unchunked(tiny_grid_config):
+    """Large saved runs auto-chunk (frames stream to host between compiled
+    phase-aligned slices — the 20M ``-o`` run would otherwise accumulate
+    ~16 GB of frames in HBM). Chunked and unchunked runs must agree
+    bit-for-bit, including the cadence phase across chunk boundaries."""
+    cfg = tiny_grid_config
+    st = init_particles(cfg, seed=42, method="reference")
+    r1 = get_engine("grid", cfg).run(st, nsteps=23, savefreq=3)
+    r2 = get_engine("grid", cfg).run(
+        st, nsteps=23, savefreq=3,
+        max_device_frame_bytes=cfg.num_parts * 2 * 4,  # ~1 frame per chunk
+    )
+    np.testing.assert_array_equal(r1.frames, r2.frames)
+    np.testing.assert_array_equal(
+        np.asarray(r1.state.pos), np.asarray(r2.state.pos)
+    )
