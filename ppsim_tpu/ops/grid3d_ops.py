@@ -29,6 +29,7 @@ claim as engines/binned3d.py but in the dense flagship layout.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -360,12 +361,29 @@ def grid3_rebin_axes(state: Slab3State, geom: Geometry3S, evac_cap: int,
                      y0=0):
     """Axis-factorized 3D rebin: x, z, then y passes (y last so the
     sharded engine's cross-shard hop sees settled in-strip placement).
-    Same loss-free contract and monitors as :func:`grid3_rebin`."""
+    Same loss-free contract and monitors as :func:`grid3_rebin`.
+
+    The passes run through a ``lax.scan`` over a ``lax.switch`` of the
+    three per-axis bodies so XLA's peak temporary footprint is ONE pass,
+    not the sum of three — at n=20M the state alone is 2.3 GB and the
+    difference decides whether the program fits HBM.
+    """
     alive0 = (state.pid >= 0).astype(jnp.int32).sum()
-    deferred = jnp.zeros((), jnp.int32)
-    for axis in (1, 2, 0):  # x, z, y
-        state, dfr = _axis_pass(state, geom, evac_cap, axis, y0=y0)
-        deferred = jnp.maximum(deferred, dfr)
+
+    def one(carry, axis_idx):
+        st, dfr = carry
+        st2, d2 = jax.lax.switch(
+            axis_idx,
+            [functools.partial(_axis_pass, geom=geom, evac_cap=evac_cap,
+                               axis=a, y0=y0) for a in (0, 1, 2)],
+            st,
+        )
+        return (st2, jnp.maximum(dfr, d2)), None
+
+    (state, deferred), _ = jax.lax.scan(
+        one, (state, jnp.zeros((), jnp.int32)),
+        jnp.array([1, 2, 0], jnp.int32),  # x, z, y
+    )
     occupancy_planes = (state.pid >= 0).astype(jnp.int32)
     occupancy = occupancy_planes.sum(axis=0).max()
     lost = alive0 - occupancy_planes.sum()
