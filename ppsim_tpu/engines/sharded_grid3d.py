@@ -53,8 +53,21 @@ class ShardedGrid3DEngine(Grid3DEngine):
         self,
         config: SimConfig,
         devices: Optional[Sequence[jax.Device]] = None,
+        interpret: Optional[bool] = None,
+        impl: str = "pallas",
     ):
+        """``impl``: "pallas" (the symmetric Mosaic 3D kernel per shard,
+        with ghost y-slabs entering the kernel directly; interpret-emulated
+        off-TPU) or "xla" (the grid3 twin ops via ghost-slab extension —
+        the practical choice for CPU-mesh-scale runs)."""
         super().__init__(config)
+        if impl not in ("pallas", "xla"):
+            raise ValueError(f"unknown sharded_grid3d impl {impl!r}")
+        self.impl = impl
+        self.interpret = (
+            (jax.devices()[0].platform != "tpu") if interpret is None
+            else interpret
+        )
         devices = list(devices) if devices is not None else jax.devices()
         self.mesh = Mesh(np.array(devices), axis_names=("x",))
         self.P = len(devices)
@@ -105,6 +118,32 @@ class ShardedGrid3DEngine(Grid3DEngine):
 
     # ---------------------------------------------------------- local steps
     def _local_plain(self, xl, yl, zl, vx, vy, vz, pid):
+        if self.impl == "pallas":
+            return self._local_plain_pallas(xl, yl, zl, vx, vy, vz, pid)
+        return self._local_plain_xla(xl, yl, zl, vx, vy, vz, pid)
+
+    def _local_plain_pallas(self, xl, yl, zl, vx, vy, vz, pid):
+        from ppsim_tpu.ops.pallas_grid3d import grid3_step_pallas
+
+        cfg = self.config
+        y0 = jax.lax.axis_index("x") * self.ys_local
+        ghosts = []
+        for f, fill in ((xl, BIG), (yl, BIG), (zl, BIG)):
+            ghosts.append(self._halo(f, fill, 1))
+        (tx, bx), (ty, by), (tz, bz) = ghosts
+        nxl, nyl, nzl, nvx, nvy, nvz = grid3_step_pallas(
+            xl, yl, zl, vx, vy, vz, self.geom,
+            cfg.cutoff, cfg.min_r, cfg.mass, cfg.dt, cfg.size,
+            interpret=self.interpret, y0=y0,
+            ghosts=(tx, ty, tz, bx, by, bz),
+            law=cfg.force_law, law_params=cfg.law_params,
+        )
+        max_speed = jax.lax.pmax(
+            jnp.sqrt((nvx * nvx + nvy * nvy + nvz * nvz).max()), "x"
+        )
+        return nxl, nyl, nzl, nvx, nvy, nvz, max_speed
+
+    def _local_plain_xla(self, xl, yl, zl, vx, vy, vz, pid):
         cfg = self.config
         y0 = jax.lax.axis_index("x") * self.ys_local
         state = Slab3State(xl, yl, zl, vx, vy, vz, pid)

@@ -18,8 +18,9 @@ Newton's-third-law ownership, y-major:
   2D kernel's row-spill trick, but with a full slab instead of one row.
 
 Pair planes per bin: cap*(cap-1)/2 + 13*cap^2 (vs 27*cap^2 two-sided).
-Single-chip only for now: the y=0 slab's upper neighbor is the box wall
-(BIG fill), so no ghost direction is required.
+Sharded use: ghost y-slabs from both strip neighbors enter as the bottom
+concat slab (read by the last block's y+1 direction) and a dedicated
+top-ghost input evaluated self-side-only in block 0 (`has_ghosts`).
 """
 
 from __future__ import annotations
@@ -38,12 +39,13 @@ from ppsim_tpu.ops.pallas_grid import _pair_coef
 __all__ = ["grid3_step_pallas"]
 
 
-def _step3_kernel(x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
+def _step3_kernel(yoff_ref, x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
+                  gx_ref, gy_ref, gz_ref,
                   vx_ref, vy_ref, vz_ref,
                   xo_ref, yo_ref, zo_ref, vxo_ref, vyo_ref, vzo_ref,
                   ax_ref, ay_ref, az_ref, sx_ref, sy_ref, sz_ref,
                   *, cap, geom: Geometry3S,
-                  cutoff, min_r, mass, dt, size, y0, law, law_params):
+                  cutoff, min_r, mass, dt, size, has_ghosts, law, law_params):
     i = pl.program_id(0)
     dtf = jnp.float32(dt)
     L = jnp.float32(size)
@@ -171,9 +173,35 @@ def _step3_kernel(x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
 
     jax.lax.fori_loop(0, cap, ynext_body, 0)
 
+    # 3b) the TOP ghost slab (sharded halo): block 0's upper-neighbor pairs
+    # cannot arrive by spill (the neighbor shard's spill dies at its edge),
+    # so the first slab evaluates them self-side-only — the one place the
+    # symmetric scheme still computes a pair twice, exactly the 2D kernel's
+    # (and the reference MPI halo's) boundary discipline.
+    if has_ghosts:
+        @pl.when(i == 0)
+        def _():
+            def ghost_body(j, _):
+                gxj = plane(gx_ref, j)
+                gyj = plane(gy_ref, j) - bs  # dy=-1 offset
+                gzj = plane(gz_ref, j)
+                for dx in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        xn = rolled(gxj, dx, dz) + jnp.float32(dx) * bs
+                        yn = rolled(gyj, dx, dz, mask=False)
+                        zn = rolled(gzj, dx, dz, mask=False) + jnp.float32(dz) * bs
+                        for s in range(cap):
+                            fx, fy, fz = pair(xn, yn, zn, s)
+                            ax_ref[s] = ax_ref[s] + fx
+                            ay_ref[s] = ay_ref[s] + fy
+                            az_ref[s] = az_ref[s] + fz
+                return 0
+
+            jax.lax.fori_loop(0, cap, ghost_body, 0)
+
     # 4) Verlet move + wall reflection (reference: serial.cpp:44-61)
     x_off = xi.astype(jnp.float32) * bs
-    y_off = (jnp.int32(y0) + i).astype(jnp.float32) * bs
+    y_off = (yoff_ref[0] + i).astype(jnp.float32) * bs
     z_off = zi.astype(jnp.float32) * bs
 
     for s in range(cap):
@@ -209,35 +237,52 @@ def _step3_kernel(x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("geom", "cutoff", "min_r", "mass", "dt", "size",
-                     "interpret", "law", "law_params", "y0"),
+                     "interpret", "law", "law_params"),
 )
 def grid3_step_pallas(xl, yl, zl, vx, vy, vz, geom: Geometry3S,
                       cutoff, min_r, mass, dt, size, interpret=False,
-                      y0=0, law="repulsive", law_params=()):
+                      y0=None, ghosts=None, law="repulsive", law_params=()):
     """Fused symmetric 3D force+move step. Returns (xl', yl', zl', vx',
-    vy', vz')."""
+    vy', vz').
+
+    ``y0``: traced global index of this array's first y-slab (sharded
+    strips pass ``axis_index * ys_local``; default 0).
+    ``ghosts``: optional 6-tuple (top_xl, top_yl, top_zl, bot_xl, bot_yl,
+    bot_zl) of (cap, 1, X, Z) neighbor boundary slabs (sharded halo).
+    """
     cap = geom.capacity
     Y = xl.shape[1]
     Xp, Zp = geom.xs_pad, geom.zs_pad
 
-    pad = jnp.full((cap, 1, Xp, Zp), BIG, jnp.float32)
-    xe = jnp.concatenate([xl, pad], axis=1)
-    ye = jnp.concatenate([yl, pad], axis=1)
-    ze = jnp.concatenate([zl, pad], axis=1)
+    if ghosts is None:
+        pad = jnp.full((cap, 1, Xp, Zp), BIG, jnp.float32)
+        tx = ty = tz = pad
+        bx, by, bz = pad, pad, pad
+    else:
+        tx, ty, tz, bx, by, bz = ghosts
+    xe = jnp.concatenate([xl, bx], axis=1)
+    ye = jnp.concatenate([yl, by], axis=1)
+    ze = jnp.concatenate([zl, bz], axis=1)
+
+    base = 0 if y0 is None else y0
+    yoff = base + jnp.zeros((Y,), jnp.int32)
 
     main = pl.BlockSpec((cap, 1, Xp, Zp), lambda i: (0, i, 0, 0),
                         memory_space=pltpu.VMEM)
     nxt = pl.BlockSpec((cap, 1, Xp, Zp), lambda i: (0, i + 1, 0, 0),
                        memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((cap, 1, Xp, Zp), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    yspec = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _step3_kernel, cap=cap, geom=geom,
-        cutoff=cutoff, min_r=min_r, mass=mass, dt=dt, size=size, y0=y0,
-        law=law, law_params=law_params,
+        cutoff=cutoff, min_r=min_r, mass=mass, dt=dt, size=size,
+        has_ghosts=ghosts is not None, law=law, law_params=law_params,
     )
     out = pl.pallas_call(
         kernel,
         grid=(Y,),
-        in_specs=[main, nxt] * 3 + [main] * 3,
+        in_specs=[yspec] + [main, nxt] * 3 + [gspec] * 3 + [main] * 3,
         out_specs=[main] * 6,
         out_shape=[jax.ShapeDtypeStruct((cap, Y, Xp, Zp), jnp.float32)] * 6,
         scratch_shapes=[pltpu.VMEM((cap, Xp, Zp), jnp.float32)] * 6,
@@ -250,5 +295,5 @@ def grid3_step_pallas(xl, yl, zl, vx, vy, vz, geom: Geometry3S,
             bytes_accessed=Y * Xp * Zp * cap * 4 * 18,
             transcendentals=Y * Xp * Zp * cap * cap * 14,
         ),
-    )(xe, xe, ye, ye, ze, ze, vx, vy, vz)
+    )(yoff, xe, xe, ye, ye, ze, ze, tx, ty, tz, vx, vy, vz)
     return tuple(out)

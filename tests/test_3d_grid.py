@@ -77,9 +77,12 @@ def test_grid3d_lj_matches_oracle():
 
 
 @pytest.mark.slow
-def test_sharded_grid3d_matches_grid3d():
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_sharded_grid3d_matches_grid3d(impl):
     """Multi-chip 3D: y-strip halo + cross-shard migration through the
-    extended rebin tracks the single-chip grid3d engine."""
+    extended rebin tracks the single-chip grid3d engine — with both the
+    XLA-twin impl and the Mosaic-kernel-per-shard impl (ghost y-slabs
+    entering the kernel; interpret-emulated on the CPU mesh)."""
     import jax
 
     from ppsim_tpu.engines.sharded_grid3d import ShardedGrid3DEngine
@@ -87,7 +90,7 @@ def test_sharded_grid3d_matches_grid3d():
     cfg = SimConfig(num_parts=600, **BASE3)
     state = init_particles(cfg, seed=42, method="fast")
     r1 = get_engine("grid3d", cfg).run(state, nsteps=12)
-    eng = ShardedGrid3DEngine(cfg, devices=jax.devices()[:4])
+    eng = ShardedGrid3DEngine(cfg, devices=jax.devices()[:4], impl=impl)
     r2 = eng.run(state, nsteps=12)
     np.testing.assert_allclose(
         np.asarray(r1.state.pos), np.asarray(r2.state.pos), atol=2e-6
