@@ -201,7 +201,7 @@ def _step3_kernel(yoff_ref, x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
 
     # 4) Verlet move + wall reflection (reference: serial.cpp:44-61)
     x_off = xi.astype(jnp.float32) * bs
-    y_off = (yoff_ref[0] + i).astype(jnp.float32) * bs
+    y_off = yoff_ref[i, 0].astype(jnp.float32) * bs
     z_off = zi.astype(jnp.float32) * bs
 
     for s in range(cap):
@@ -265,7 +265,7 @@ def grid3_step_pallas(xl, yl, zl, vx, vy, vz, geom: Geometry3S,
     ze = jnp.concatenate([zl, bz], axis=1)
 
     base = 0 if y0 is None else y0
-    yoff = base + jnp.zeros((Y,), jnp.int32)
+    yoff = (base + jnp.arange(Y, dtype=jnp.int32))[:, None]
 
     main = pl.BlockSpec((cap, 1, Xp, Zp), lambda i: (0, i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -273,7 +273,7 @@ def grid3_step_pallas(xl, yl, zl, vx, vy, vz, geom: Geometry3S,
                        memory_space=pltpu.VMEM)
     gspec = pl.BlockSpec((cap, 1, Xp, Zp), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    yspec = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
+    yspec = pl.BlockSpec((Y, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     kernel = functools.partial(
         _step3_kernel, cap=cap, geom=geom,
         cutoff=cutoff, min_r=min_r, mass=mass, dt=dt, size=size,
