@@ -151,3 +151,14 @@ class Pallas3DEngine(Grid3DEngine):
         )
         max_speed = jnp.sqrt((vx * vx + vy * vy + vz * vz).max())
         return Slab3State(xl, yl, zl, vx, vy, vz, slab.pid), max_speed
+
+    def rebin_of(self, slab):
+        # Mosaic 3D rebin (fused xz pass + y pass) — the XLA axis-factorized
+        # rebin was the dominant non-force step cost and the ~8M single-chip
+        # ceiling (round-2 verdict #1).
+        from ppsim_tpu.ops.pallas_rebin3 import grid3_rebin_pallas
+
+        return grid3_rebin_pallas(
+            slab, self.geom, self.config.evac_capacity,
+            interpret=self.interpret,
+        )
