@@ -40,15 +40,19 @@ def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
 
     config = SimConfig(num_parts=n, **(config_kw or {}))
     state = init_particles(config, seed=seed, method="fast")
-    if devices is not None and engine_name in ("sharded", "sharded_grid"):
+    sharded_names = ("sharded", "sharded_grid", "sharded_grid3d")
+    if devices is not None and engine_name in sharded_names:
         from ppsim_tpu.engines.sharded import ShardedEngine
         from ppsim_tpu.engines.sharded_grid import ShardedGridEngine
+        from ppsim_tpu.engines.sharded_grid3d import ShardedGrid3DEngine
 
-        cls = {"sharded": ShardedEngine, "sharded_grid": ShardedGridEngine}[
-            engine_name
-        ]
+        cls = {
+            "sharded": ShardedEngine,
+            "sharded_grid": ShardedGridEngine,
+            "sharded_grid3d": ShardedGrid3DEngine,
+        }[engine_name]
         kw = {}
-        if engine_name == "sharded_grid":
+        if engine_name in ("sharded_grid", "sharded_grid3d"):
             # On a CPU mesh the Mosaic kernels only run interpret-emulated
             # (~1000x off); the XLA-twin impl is the meaningful one there.
             on_tpu = jax.devices()[0].platform == "tpu"
@@ -63,6 +67,10 @@ def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
         "engine": engine_name,
         "num_parts": n,
         "nsteps": steps,
+        "ndim": config.ndim,
+        "force_law": config.force_law,
+        "density": config.density,
+        "dt": config.dt,
         "num_devices": devices or 1,
         "seconds": best,
         "times": [round(t, 4) for t in times],
@@ -100,6 +108,18 @@ def main(argv=None) -> int:
     ap.add_argument("--grid-bin-scale", type=float, default=None)
     ap.add_argument("--grid-capacity", type=int, default=None)
     ap.add_argument("--rebin-every", type=int, default=None)
+    # Stretch-config axes (BASELINE.json configs[4] is ndim=3 + lj): every
+    # published row must be regenerable from a committed command line
+    # (reference discipline: part3/benchmark-gpu:8-12).
+    ap.add_argument("--ndim", type=int, default=2)
+    ap.add_argument("--density", type=float, default=None,
+                    help="box measure per particle (3D runs want ~7e-6)")
+    ap.add_argument("--force-law", default=None, help="repulsive | lj")
+    ap.add_argument("--dt", type=float, default=None,
+                    help="timestep override (lj runs want <= 1e-4)")
+    ap.add_argument("--grid3-bin-scale", type=float, default=None)
+    ap.add_argument("--grid3-capacity", type=int, default=None)
+    ap.add_argument("--rebin3-every", type=int, default=None)
     args = ap.parse_args(argv)
 
     if args.cpu_mesh:
@@ -113,9 +133,17 @@ def main(argv=None) -> int:
             ("grid_bin_scale", args.grid_bin_scale),
             ("grid_capacity", args.grid_capacity),
             ("rebin_every", args.rebin_every),
+            ("density", args.density),
+            ("force_law", args.force_law),
+            ("dt", args.dt),
+            ("grid3_bin_scale", args.grid3_bin_scale),
+            ("grid3_capacity", args.grid3_capacity),
+            ("rebin3_every", args.rebin3_every),
         )
         if v is not None
     }
+    if args.ndim != 2:
+        config_kw["ndim"] = args.ndim
     dev_counts = [int(d) for d in args.devices.split(",")]
 
     records = []
@@ -124,20 +152,21 @@ def main(argv=None) -> int:
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
+    sharded_default = "sharded_grid3d" if args.ndim == 3 else "sharded_grid"
     if args.strong:
-        engine = args.engine or "sharded_grid"
+        engine = args.engine or sharded_default
         for d in dev_counts:
             emit(run_one(engine, args.strong, args.steps, devices=d,
                          repeats=args.repeats, config_kw=config_kw,
                          impl=args.impl))
     elif args.weak:
-        engine = args.engine or "sharded_grid"
+        engine = args.engine or sharded_default
         for d in dev_counts:
             emit(run_one(engine, args.weak * d, args.steps, devices=d,
                          repeats=args.repeats, config_kw=config_kw,
                          impl=args.impl))
     else:
-        engine = args.engine or "pallas"
+        engine = args.engine or ("pallas3d" if args.ndim == 3 else "pallas")
         if args.sizes:
             sizes = [int(s) for s in args.sizes.split(",")]
         else:

@@ -57,10 +57,13 @@ def frame_distance_stats(pos: np.ndarray, cutoff: float, cell_block: int = 4096)
     """
     pos = np.asarray(pos, dtype=np.float64)
     n, dim = pos.shape
-    if n > 20_000 and dim == 2:
-        # The vectorized cell-list fast path is 2D; 3D frames use the blocked
-        # brute-force loop at any n (O(N^2) but bounded memory).
-        return _cell_list_stats(pos, cutoff)
+    if n > 20_000:
+        # Independent vectorized cell-list passes (still no engine machinery):
+        # dense padded tables in 2D; sorted-cell searchsorted walk in 3D
+        # (3D cutoff-cells are ~25x sparser, dense tables would waste memory).
+        if dim == 2:
+            return _cell_list_stats(pos, cutoff)
+        return _cell_list_stats3(pos, cutoff)
     dmin = np.inf
     dsum = 0.0
     dcount = 0
@@ -162,6 +165,72 @@ def _cell_list_stats(pos: np.ndarray, cutoff: float):
                     dmin = min(dmin, float(d.min()))
                     dsum += float(d.sum())
                     dcount += int(d.size)
+    return dmin, dsum, dcount
+
+
+def _cell_list_stats3(pos: np.ndarray, cutoff: float):
+    """3D interacting-pair stats: sorted cell ids + searchsorted neighbor
+    walk, O(N) memory (no dense tables — at the 3D stretch density the mean
+    cutoff-cell occupancy is ~0.14, so padded tables would be ~25x waste).
+
+    Counts each unordered pair ONCE (same-cell triangular + the 13
+    lexicographically-positive neighbor offsets). absmin/absavg are identical
+    to the double-counting brute-force path (doubling scales dsum and dcount
+    together). Exactly-coincident particles (duplication-bug signature) show
+    up as d2 == 0 same-cell pairs and drive absmin to 0 naturally.
+    """
+    n = pos.shape[0]
+    side = max(pos.max(), 1e-9)
+    ncell = max(1, int(np.ceil(side / cutoff)))
+    c = np.clip((pos / cutoff).astype(np.int64), 0, ncell - 1)
+    cid = (c[:, 1] * ncell + c[:, 0]) * ncell + c[:, 2]
+    order = np.argsort(cid, kind="stable")
+    spos = pos[order]
+    scid = cid[order]
+    cy, cx, cz = c[order, 1], c[order, 0], c[order, 2]
+
+    dmin = np.inf
+    dsum = 0.0
+    dcount = 0
+    self_idx = np.arange(n)
+    # 13 lexicographically-positive offsets + the same-cell triangle (dz=0
+    # row below handles same-cell via j-ranks after self).
+    OFFSETS = [(0, 0, 0)] + [
+        (dy, dx, dz)
+        for dy in (0, 1) for dx in (-1, 0, 1) for dz in (-1, 0, 1)
+        if (dy, dx, dz) > (0, 0, 0)
+    ]
+    for dy, dx, dz in OFFSETS:
+        same = (dy, dx, dz) == (0, 0, 0)
+        valid = np.ones(n, dtype=bool)
+        if dy:
+            valid &= cy + dy < ncell
+        if dx:
+            valid &= (cx + dx >= 0) & (cx + dx < ncell)
+        if dz:
+            valid &= (cz + dz >= 0) & (cz + dz < ncell)
+        target = scid + (dy * ncell + dx) * ncell + dz
+        s = np.searchsorted(scid, target, side="left")
+        e = np.searchsorted(scid, target, side="right")
+        if same:
+            # triangle: partners strictly after me within my own cell
+            s = self_idx + 1
+        count = np.maximum(e - s, 0)
+        count = np.where(valid, count, 0)
+        cap = int(count.max()) if n else 0
+        for j in range(cap):
+            m = j < count
+            if not m.any():
+                break
+            idx = s[m] + j
+            d = spos[idx] - spos[m]
+            d2 = (d * d).sum(axis=-1)
+            hit = d2 < cutoff * cutoff
+            if hit.any():
+                dh = np.sqrt(d2[hit])
+                dmin = min(dmin, float(dh.min()))
+                dsum += float(dh.sum())
+                dcount += int(dh.size)
     return dmin, dsum, dcount
 
 

@@ -197,6 +197,13 @@ class SimConfig:
             )
         if self.rebin_every < 1 or self.grid_capacity < 1 or self.evac_capacity < 1:
             raise ValueError("rebin_every / grid_capacity / evac_capacity must be >= 1")
+        if self.grid3_bin_scale <= 1.0:
+            raise ValueError(
+                f"grid3_bin_scale={self.grid3_bin_scale} must exceed 1: the 3D "
+                "grid engines need positive stale-bin slack (bin side > cutoff)."
+            )
+        if self.rebin3_every < 1 or self.grid3_capacity < 1:
+            raise ValueError("rebin3_every / grid3_capacity must be >= 1")
         if self.force_law not in ("repulsive", "lj"):
             raise ValueError(
                 f"unknown force_law {self.force_law!r}; have 'repulsive', 'lj'"

@@ -27,7 +27,9 @@ Here the seam is :class:`ppsim_tpu.engines.base.Engine`; backends:
   ghost-slab halo, cross-shard migration through the extended rebin
 """
 
-from ppsim_tpu.engines.base import Engine, RunResult, get_engine, register_engine
+from ppsim_tpu.engines.base import (
+    Engine, RunResult, engine_names, get_engine, register_engine,
+)
 
 # Import for registration side effects.
 from ppsim_tpu.engines import oracle as _oracle  # noqa: F401
@@ -39,4 +41,4 @@ from ppsim_tpu.engines import binned3d as _binned3d  # noqa: F401
 from ppsim_tpu.engines import grid3d as _grid3d  # noqa: F401
 from ppsim_tpu.engines import sharded_grid3d as _sharded_grid3d  # noqa: F401
 
-__all__ = ["Engine", "RunResult", "get_engine", "register_engine"]
+__all__ = ["Engine", "RunResult", "engine_names", "get_engine", "register_engine"]

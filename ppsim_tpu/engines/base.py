@@ -21,7 +21,8 @@ import numpy as np
 from ppsim_tpu.config import SimConfig
 from ppsim_tpu.state import ParticleState
 
-__all__ = ["Monitors", "Carry", "RunResult", "Engine", "register_engine", "get_engine"]
+__all__ = ["Monitors", "Carry", "RunResult", "Engine", "register_engine",
+           "get_engine", "engine_names"]
 
 
 class Monitors(NamedTuple):
@@ -127,8 +128,8 @@ class Engine:
         if config.ndim not in self.supported_ndim:
             raise ValueError(
                 f"engine {self.name!r} supports ndim in {self.supported_ndim}, "
-                f"got ndim={config.ndim}; 3D engines: oracle, binned3d, "
-                "grid3d, pallas3d"
+                f"got ndim={config.ndim}; engines for ndim={config.ndim}: "
+                f"{', '.join(engine_names(config.ndim))}"
             )
         self.config = config
         self._programs: Dict[Any, Any] = {}
@@ -282,3 +283,14 @@ def get_engine(name: str, config: SimConfig) -> Engine:
     except KeyError:
         raise ValueError(f"unknown engine {name!r}; have {sorted(_REGISTRY)}") from None
     return cls(config)
+
+
+def engine_names(ndim: Optional[int] = None) -> list:
+    """Registered engine names in registration order, optionally restricted
+    to those supporting ``ndim``. Help text and error messages derive from
+    this so they cannot drift from the registry (a recurring round-1/2 bug)."""
+    return [
+        name
+        for name, cls in _REGISTRY.items()
+        if ndim is None or ndim in cls.supported_ndim
+    ]

@@ -172,6 +172,26 @@ class GridEngine(Engine):
             return plain_scan(carry, rem), None
 
         L = math.lcm(savefreq, K)
+        # The period is statically unrolled: L step bodies in one scan. Near-
+        # coprime cadences (e.g. --savefreq 7 with rebin_every 4 -> L = 28)
+        # multiply compile time/memory; a 3D rebin program already compiles
+        # in ~8 min on a 1-core host. Warn early, refuse the pathological.
+        if L > 16 * max(savefreq, K):
+            raise ValueError(
+                f"savefreq={savefreq} and rebin cadence {K} are near-coprime: "
+                f"the saved-run driver would statically unroll lcm={L} step "
+                "bodies per scan period. Align savefreq with the rebin "
+                "cadence (make one divide the other) or adjust rebin_every."
+            )
+        if L > 4 * max(savefreq, K):
+            import warnings
+
+            warnings.warn(
+                f"saved-run driver unrolls lcm(savefreq={savefreq}, "
+                f"rebin_every={K}) = {L} step bodies per scan period; expect "
+                "a long compile. Aligning the cadences avoids this.",
+                stacklevel=2,
+            )
 
         def steps_with_saves(c, length):
             """Unrolled ``length`` steps (phase-0 start): rebin on every K-th,

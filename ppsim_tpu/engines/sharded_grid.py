@@ -86,12 +86,6 @@ class ShardedGridEngine(GridEngine):
         self.geom = dataclasses.replace(base, rows_pad=self.P * rows_local)
 
         spec_f = P(None, "x", None)
-        self._smap = lambda f, n_out: jax.shard_map(
-            f,
-            mesh=self.mesh,
-            in_specs=(spec_f,) * 5,
-            out_specs=(spec_f,) * n_out + (P(),) * 0,
-        )
         # check_vma=False: pallas_call out_shapes carry no varying-mesh-axis
         # annotation, which the vma checker requires inside shard_map.
         self._plain_step = jax.shard_map(
@@ -230,11 +224,15 @@ class ShardedGridEngine(GridEngine):
         before = jax.lax.psum((state.pid >= 0).astype(jnp.int32).sum(), "x")
         occ_planes = (new.pid >= 0).astype(jnp.int32)
         after = jax.lax.psum(occ_planes.sum(), "x")
-        dirx, diry, far, alive2 = grid_ops.slab_dirs(new, self.geom, row0=row0)
+        # far from the PRE-rebin state: the shuffle moves a 2-bin drifter one
+        # hop, after which it reads as a benign deferred 1-bin mover — the
+        # slack-violation signal (fatal, matches grid_rebin) lives pre-rebin.
+        _, _, far0, _ = grid_ops.slab_dirs(state, self.geom, row0=row0)
+        dirx, diry, _, alive2 = grid_ops.slab_dirs(new, self.geom, row0=row0)
         deferred = jax.lax.psum(
             (alive2 & ((dirx != 0) | (diry != 0))).astype(jnp.int32).sum(), "x"
         )
-        far_n = jax.lax.psum(far.astype(jnp.int32).sum(), "x")
+        far_n = jax.lax.psum(far0.astype(jnp.int32).sum(), "x")
         occupancy = jax.lax.pmax(occ_planes.sum(axis=0).max(), "x")
         dropped = (before - after) + far_n
         return (new.xl, new.yl, new.vx, new.vy, new.pid,

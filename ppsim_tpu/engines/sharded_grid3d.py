@@ -6,18 +6,19 @@ per step one boundary y-slab moves to each neighbor by ``lax.ppermute`` over
 ICI — the same strip/halo architecture as the reference's MPI rows
 (part2/mpi.cpp:258-294) rotated into the 3D layout.
 
-Current implementation is the XLA-twin path (ghost-slab extension + the
-grid3 twin ops per shard, exactly the 2D ``impl="xla"`` design):
+Two per-shard impls, exactly the 2D engine's split:
 
-- force: 1 ghost y-slab each side, 27-plane stencil on the extension;
-- rebin: 2 ghost y-slabs of every field — the acceptance predicate at a
-  destination needs its full 3x3x3 count neighborhood, so both neighbors
-  compute identical transfer decisions from identical overlapping data
-  (no handshake; see sharded_grid.ShardedGridEngine._local_rebin_xla).
+- ``impl="pallas"`` (flagship): ghost y-slabs enter the symmetric Mosaic
+  step kernel directly (ops/pallas_grid3d.py), and the rebin runs the
+  Mosaic fused-xz + y-pass kernels (ops/pallas_rebin3.py) on a 2-ghost-slab
+  extension;
+- ``impl="xla"`` (CPU-mesh-scale twin): 27-plane stencil force on a
+  1-ghost-slab extension, axis-factorized XLA rebin on the 2-ghost one.
 
-The per-shard Mosaic kernel variant (ghost slabs entering
-ops/pallas_grid3d.py the way 2D ghosts enter the 2D kernel) is the next
-step; the decomposition, transport, and migration logic here are final.
+In both, the rebin's acceptance predicate at a destination needs its full
+3x3x3 count neighborhood, so both neighbors compute identical transfer
+decisions from identical overlapping data — cross-shard migration with no
+handshake (see sharded_grid.ShardedGridEngine._local_rebin_xla).
 """
 
 from __future__ import annotations
@@ -72,9 +73,16 @@ class ShardedGrid3DEngine(Grid3DEngine):
         self.mesh = Mesh(np.array(devices), axis_names=("x",))
         self.P = len(devices)
         base = self.geom
-        ys_local = -(-base.ys // self.P)
+        # Strips must be at least as tall as the rebin halo (2 ghost slabs):
+        # a 1-slab strip would silently truncate the f[:, -2:] halo slice
+        # and the interior [2:-2] slice of the extension would be empty.
+        # Extra-tall padding strips on small grids are dead slabs (BIG-fill).
+        ys_local = max(2, -(-base.ys // self.P))
         self.ys_local = ys_local
-        self.geom = dataclasses.replace(base, ys=self.P * ys_local)
+        # Pad only the ARRAY extent; geom.ys stays physical so slab3_dirs'
+        # grid-edge clamp cannot rebin a particle at exactly y == size into a
+        # padding slab.
+        self.geom = dataclasses.replace(base, ys_pad=self.P * ys_local)
 
         spec = P(None, "x", None, None)
         self._plain_step = jax.shard_map(
@@ -169,21 +177,42 @@ class ShardedGrid3DEngine(Grid3DEngine):
         # Axis-factorized rebin: the x/z passes are strictly within-slab
         # (identical on the ghost overlap by construction); only the final
         # y pass crosses slabs and needs the 2-ghost-slab neighborhood.
+        # Both neighbors evaluate the same acceptance predicate from the
+        # same overlapping data, so cross-shard transfers need no handshake.
         ext = self._extend(state, 2)
-        new_ext, _ = grid3d_ops.grid3_rebin_axes(
-            ext, self.geom, cfg.evac_capacity, y0=y0 - 2
-        )
+        if self.impl == "pallas":
+            from ppsim_tpu.ops.pallas_rebin3 import (
+                rebin3_inplane_pallas,
+                rebin3_ypass_pallas,
+            )
+
+            mid, counts = rebin3_inplane_pallas(
+                ext, self.geom, cfg.evac_capacity,
+                interpret=self.interpret, y0=y0 - 2,
+            )
+            new_ext = rebin3_ypass_pallas(
+                mid, counts, self.geom, cfg.evac_capacity,
+                interpret=self.interpret, y0=y0 - 2,
+            )
+        else:
+            new_ext, _ = grid3d_ops.grid3_rebin_axes(
+                ext, self.geom, cfg.evac_capacity, y0=y0 - 2
+            )
         new = Slab3State(*(f[:, 2:-2] for f in new_ext))
 
         before = jax.lax.psum((state.pid >= 0).astype(jnp.int32).sum(), "x")
         occ_planes = (new.pid >= 0).astype(jnp.int32)
         after = jax.lax.psum(occ_planes.sum(), "x")
-        dy, dx, dz, far, alive2 = grid3d_ops.slab3_dirs(new, self.geom, y0=y0)
+        # far must come from the PRE-rebin state: each axis pass clamps to one
+        # hop, so a 2-bin drifter looks benign afterwards (2D grid_rebin
+        # counts it into the fatal dropped monitor pre-rebin).
+        _, _, _, far0, _ = grid3d_ops.slab3_dirs(state, self.geom, y0=y0)
+        dy, dx, dz, _, alive2 = grid3d_ops.slab3_dirs(new, self.geom, y0=y0)
         deferred = jax.lax.psum(
             (alive2 & ((dy != 0) | (dx != 0) | (dz != 0))).astype(jnp.int32).sum(),
             "x",
         )
-        far_n = jax.lax.psum(far.astype(jnp.int32).sum(), "x")
+        far_n = jax.lax.psum(far0.astype(jnp.int32).sum(), "x")
         occupancy = jax.lax.pmax(occ_planes.sum(axis=0).max(), "x")
         dropped = (before - after) + far_n
         return (new.xl, new.yl, new.zl, new.vx, new.vy, new.vz, new.pid,

@@ -61,11 +61,15 @@ STAY3 = 13
 
 @dataclasses.dataclass(frozen=True)
 class Geometry3S:
-    ys: int  # y bins (outer blocked axis; the shard-strip axis)
+    ys: int  # y bins (outer blocked axis; the shard-strip axis) — PHYSICAL
     xs: int  # x bins (sublane axis)
     zs: int  # z bins (lane axis)
     xs_pad: int
     zs_pad: int
+    # Array y extent >= ys (the sharded engine pads to P * ys_local; slabs
+    # past ``ys`` are permanent padding, like rows_pad in the 2D geometry).
+    # Physical clamps (slab3_dirs, packing) always use ``ys``.
+    ys_pad: int
     capacity: int
     bin_size: float
 
@@ -76,13 +80,14 @@ class Geometry3S:
             ys=n, xs=n, zs=n,
             xs_pad=-(-n // sublane) * sublane,
             zs_pad=-(-n // lane) * lane,
+            ys_pad=n,
             capacity=config.grid3_capacity,
             bin_size=config.grid3_bin_size,
         )
 
     @property
     def shape(self):
-        return (self.capacity, self.ys, self.xs_pad, self.zs_pad)
+        return (self.capacity, self.ys_pad, self.xs_pad, self.zs_pad)
 
 
 class Slab3State(NamedTuple):
@@ -114,7 +119,7 @@ def slab3_from_particles(pos, vel, geom: Geometry3S):
     bin_id = (by * geom.xs_pad + bx) * geom.zs_pad + bz
 
     order, sorted_id, rank = sort_by_bin(bin_id)
-    plane = geom.ys * geom.xs_pad * geom.zs_pad
+    plane = geom.ys_pad * geom.xs_pad * geom.zs_pad
     nslots = geom.capacity * plane
     flat = jnp.where(rank < geom.capacity, rank * plane + sorted_id, nslots)
 
@@ -180,8 +185,14 @@ def _shifted3(f, dy: int, dx: int, dz: int, geom: Geometry3S, fill=BIG):
     nd = f.ndim
     rolled = jnp.roll(f, (-dy, -dx, -dz), axis=(nd - 3, nd - 2, nd - 1))
     if dy:
+        # Mask at the ARRAY edge, like the x/z axes below: the sharded
+        # engine feeds ghost-extended arrays (Y_ext = ys_local + 2h) whose
+        # physical boundaries are handled by BIG-filled edge ghosts; masking
+        # at geom.ys - 1 would land on an interior slab there (one-sided
+        # forces + rebin particle loss with P=1, unmasked wraparound P>=2).
         y = jax.lax.broadcasted_iota(jnp.int32, f.shape, nd - 3)
-        rolled = jnp.where(y == (geom.ys - 1 if dy == 1 else 0), fill, rolled)
+        edge = f.shape[nd - 3] - 1 if dy == 1 else 0
+        rolled = jnp.where(y == edge, fill, rolled)
     if dx:
         x = jax.lax.broadcasted_iota(jnp.int32, f.shape, nd - 2)
         edge = min(geom.xs - 1, f.shape[nd - 2] - 1) if dx == 1 else 0
@@ -369,6 +380,10 @@ def grid3_rebin_axes(state: Slab3State, geom: Geometry3S, evac_cap: int,
     difference decides whether the program fits HBM.
     """
     alive0 = (state.pid >= 0).astype(jnp.int32).sum()
+    # Far-mover detection must see the PRE-rebin state: each axis pass clamps
+    # movement to one hop, so a 2-bin drifter (stale-slack violation, fatal in
+    # the 2D contract) would look like a benign 1-bin mover afterwards.
+    _, _, _, far0, _ = slab3_dirs(state, geom, y0=y0)
 
     def one(carry, axis_idx):
         st, dfr = carry
@@ -387,8 +402,7 @@ def grid3_rebin_axes(state: Slab3State, geom: Geometry3S, evac_cap: int,
     occupancy_planes = (state.pid >= 0).astype(jnp.int32)
     occupancy = occupancy_planes.sum(axis=0).max()
     lost = alive0 - occupancy_planes.sum()
-    _, _, _, far, _ = slab3_dirs(state, geom, y0=y0)
-    dropped = (lost + far.astype(jnp.int32).sum()).astype(jnp.int32)
+    dropped = (lost + far0.astype(jnp.int32).sum()).astype(jnp.int32)
     return state, RebinMonitors(
         occupancy.astype(jnp.int32), dropped, deferred
     )

@@ -44,6 +44,65 @@ def test_cli_run_saves_and_checks(tmp_path, capsys, engine):
     assert rec["particle_steps_per_sec"] > 0
 
 
+@pytest.mark.parametrize("engine", ["grid3d"])
+def test_cli_run_3d_saves_and_checks(tmp_path, capsys, engine):
+    """3D engines must be drivable (and tunable) through the CLI — round 2
+    never exercised any 3D engine here. steps < rebin cadence keeps the 3D
+    rebin program (minutes-long XLA compile on a 1-core host) out of the
+    fast suite; the full-run 3D paths are covered by slow-marked tests."""
+    out = str(tmp_path / "traj3.txt")
+    rc = main(
+        ["-n", "160", "-s", "42", "-o", out, "--steps", "3", "--check",
+         "--ndim", "3", "--engine", engine, "--savefreq", "1",
+         "--grid-capacity", "8", "--rebin-every", "4"]
+    )
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "seconds for 160 particles." in stdout
+    assert "PASS" in stdout
+    frames, size = read_trajectory(out)
+    assert frames.shape == (3, 160, 3)
+
+
+def test_cli_grid_flags_route_to_active_family():
+    """--grid-capacity / --rebin-every / --grid-bin-scale must tune the 3D
+    fields under --ndim 3 (they were silently ignored in round 2); the
+    explicit --grid3-* spellings win on conflict."""
+    from ppsim_tpu.harness import config_from_args
+
+    p = build_parser()
+    cfg = config_from_args(p.parse_args(
+        ["--ndim", "3", "--grid-capacity", "6", "--rebin-every", "3",
+         "--grid-bin-scale", "2.5"]
+    ))
+    assert cfg.grid3_capacity == 6
+    assert cfg.rebin3_every == 3
+    assert cfg.grid3_bin_scale == 2.5
+    # 2D fields untouched
+    assert cfg.grid_capacity == 11 and cfg.rebin_every == 8
+
+    cfg = config_from_args(p.parse_args(
+        ["--ndim", "3", "--grid-capacity", "6", "--grid3-capacity", "9"]
+    ))
+    assert cfg.grid3_capacity == 9  # explicit spelling wins
+
+    cfg = config_from_args(p.parse_args(["--grid-capacity", "7"]))
+    assert cfg.grid_capacity == 7 and cfg.grid3_capacity == 10
+
+
+def test_cli_help_lists_every_registered_engine():
+    """Help text derives from the registry; this pins it so engine additions
+    can't drift the docs again (regressed in rounds 1 AND 2)."""
+    from ppsim_tpu.engines import engine_names
+
+    p = build_parser()
+    by_flag = {a.option_strings[0]: a.help for a in p._actions if a.option_strings}
+    for name in engine_names():
+        assert name in by_flag["--engine"], f"{name} missing from --engine help"
+    for name in engine_names(3):
+        assert name in by_flag["--ndim"], f"{name} missing from --ndim help"
+
+
 def test_cli_checkpoint_resume(tmp_path):
     ck = str(tmp_path / "state.npz")
     rc = main(["-n", "200", "-s", "7", "--steps", "20", "--checkpoint-out", ck])

@@ -48,6 +48,39 @@ def test_checker_passes_on_real_run(tmp_path, small_config):
     assert check_trajectory(path, cfg).passed
 
 
+@pytest.mark.parametrize("dim", [2, 3])
+def test_cell_list_stats_match_brute_force(dim):
+    """The large-frame cell-list fast paths must agree exactly with the
+    O(N^2) trust anchor (same pairs found; sums match to fp roundoff) —
+    including coincident-particle (duplication-bug) frames."""
+    from ppsim_tpu.checker import (
+        _cell_list_stats, _cell_list_stats3, frame_distance_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    cutoff = 0.01
+    side = 0.12
+    pos = rng.uniform(0, side, (800, dim))
+    # add a tight cluster so interacting pairs certainly exist
+    pos[:40] = 0.05 + rng.uniform(0, cutoff, (40, dim))
+
+    bm, bs, bc = frame_distance_stats(pos, cutoff)  # n below fast-path cut
+    fast = _cell_list_stats if dim == 2 else _cell_list_stats3
+    fm, fs, fc = fast(pos, cutoff)
+    if dim == 3:
+        # 3D path counts each unordered pair once; brute force counts twice
+        fs, fc = 2 * fs, 2 * fc
+    assert fc == bc
+    assert fm == pytest.approx(bm, rel=1e-12)
+    assert fs == pytest.approx(bs, rel=1e-9)
+
+    # coincident particles: absmin must collapse to 0 in both paths
+    pos[7] = pos[3]
+    bm2, _, _ = frame_distance_stats(pos, cutoff)
+    fm2, _, _ = fast(pos, cutoff)
+    assert bm2 == 0.0 and fm2 == 0.0
+
+
 def test_checker_fails_on_overlapping_particles(small_config):
     cfg = small_config
     # all particles piled near one point -> absmin collapses
