@@ -46,7 +46,6 @@ __all__ = [
     "slab3_to_particles",
     "grid3_force_xla",
     "grid3_move",
-    "grid3_rebin",
 ]
 
 # Direction codes: d = ((dy+1)*3 + (dx+1))*3 + (dz+1); 13 = stay.
@@ -372,7 +371,10 @@ def grid3_rebin_axes(state: Slab3State, geom: Geometry3S, evac_cap: int,
                      y0=0):
     """Axis-factorized 3D rebin: x, z, then y passes (y last so the
     sharded engine's cross-shard hop sees settled in-strip placement).
-    Same loss-free contract and monitors as :func:`grid3_rebin`.
+    Loss-free contract and monitors per the acceptance design in
+    grid_ops.grid_rebin's docstring. (An unfactorized 27-direction
+    shuffle variant was the recorded 2.3x-slower ablation, BASELINE.md;
+    removed once the Mosaic kernels made the factorized form canonical.)
 
     The passes run through a ``lax.scan`` over a ``lax.switch`` of the
     three per-axis bodies so XLA's peak temporary footprint is ONE pass,
@@ -436,97 +438,3 @@ def slab3_dirs(state: Slab3State, geom: Geometry3S, y0=0):
     dy = jnp.where(alive, dy, 0)
     dz = jnp.where(alive, dz, 0)
     return dy, dx, dz, far, alive
-
-
-def grid3_rebin(state: Slab3State, geom: Geometry3S, evac_cap: int, y0=0):
-    """Loss-free 27-direction dense shuffle — the 3D twin of
-    grid_ops.grid_rebin (same acceptance contract, see its docstring)."""
-    cap = geom.capacity
-    bs = jnp.float32(geom.bin_size)
-    diry, dirx, dirz, far, alive = slab3_dirs(state, geom, y0=y0)
-    dcode = ((diry + 1) * 3 + (dirx + 1)) * 3 + (dirz + 1)
-
-    counts = []
-    for d, (dy, dx, dz) in enumerate(DIRS3):
-        if d == STAY3:
-            counts.append(jnp.where(alive, 1.0, 0.0).sum(axis=0))
-        else:
-            m = alive & (dcode == d)
-            counts.append(jnp.where(m, 1.0, 0.0).sum(axis=0))
-    F = jnp.float32(cap) - counts[STAY3]  # pre-rebin empty slots per bin
-
-    off = {}
-    acc = jnp.zeros(counts[0].shape, jnp.float32)
-    for d, (dy, dx, dz) in enumerate(DIRS3):
-        if d == STAY3:
-            continue
-        off[d] = acc
-        acc = acc + _shifted3(counts[d], -dy, -dx, -dz, geom, fill=0.0)
-
-    xl_re = state.xl - dirx.astype(jnp.float32) * bs
-    yl_re = state.yl - diry.astype(jnp.float32) * bs
-    zl_re = state.zl - dirz.astype(jnp.float32) * bs
-    fields = (xl_re, yl_re, zl_re, state.vx, state.vy, state.vz)
-    FILLS = (BIG, BIG, BIG, 0.0, 0.0, 0.0)
-
-    outs = [[f[s] for s in range(cap)]
-            for f in (state.xl, state.yl, state.zl,
-                      state.vx, state.vy, state.vz, state.pid)]
-
-    is_empty = state.pid < 0
-    empty_rank = (
-        jnp.cumsum(jnp.where(is_empty, 1.0, 0.0), axis=0)
-        - jnp.where(is_empty, 1.0, 0.0)
-    )
-
-    deferred = jnp.zeros((), jnp.int32)
-    for d, (dy, dx, dz) in enumerate(DIRS3):
-        if d == STAY3:
-            continue
-        mask = alive & (dcode == d)
-        off_at_dest = _shifted3(off[d], dy, dx, dz, geom, fill=0.0)
-        F_at_dest = _shifted3(F, dy, dx, dz, geom, fill=0.0)
-        rank = jnp.zeros(mask.shape[1:], jnp.float32)
-        accepted = []
-        for j in range(cap):
-            mj = mask[j]
-            acc_j = mj & (rank < float(evac_cap)) & (off_at_dest + rank < F_at_dest)
-            accepted.append((acc_j, rank))
-            rank = rank + jnp.where(mj, 1.0, 0.0)
-        for j in range(cap):
-            acc_j, _ = accepted[j]
-            for k in range(6):
-                outs[k][j] = jnp.where(acc_j, FILLS[k], outs[k][j])
-            outs[6][j] = jnp.where(acc_j, -1, outs[6][j])
-            deferred = deferred + ((mask[j] & ~acc_j).astype(jnp.int32).sum())
-        for e in range(evac_cap):
-            evac = [jnp.full(mask.shape[1:], FILLS[k], jnp.float32)
-                    for k in range(6)]
-            epid = jnp.full(mask.shape[1:], -1, jnp.int32)
-            for j in range(cap):
-                acc_j, rank_j = accepted[j]
-                sel = acc_j & (rank_j == float(e))
-                for k in range(6):
-                    evac[k] = jnp.where(sel, fields[k][j], evac[k])
-                epid = jnp.where(sel, state.pid[j], epid)
-            cpid = _shifted3(epid, -dy, -dx, -dz, geom, fill=-1)
-            cflds = [
-                _shifted3(evac[k], -dy, -dx, -dz, geom, fill=FILLS[k])
-                for k in range(6)
-            ]
-            valid = cpid >= 0
-            idx = off[d] + float(e)
-            for s in range(cap):
-                sel = valid & is_empty[s] & (empty_rank[s] == idx)
-                for k in range(6):
-                    outs[k][s] = jnp.where(sel, cflds[k], outs[k][s])
-                outs[6][s] = jnp.where(sel, cpid, outs[6][s])
-
-    new_state = Slab3State(*(jnp.stack(o) for o in outs))
-    occupancy_planes = (new_state.pid >= 0).astype(jnp.int32)
-    occupancy = occupancy_planes.sum(axis=0).max()
-    lost = alive.astype(jnp.int32).sum() - occupancy_planes.sum()
-    dropped = (lost + far.astype(jnp.int32).sum()).astype(jnp.int32)
-    return new_state, RebinMonitors(
-        occupancy.astype(jnp.int32), dropped, deferred
-    )
