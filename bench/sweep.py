@@ -146,11 +146,11 @@ def main(argv=None) -> int:
         config_kw["ndim"] = args.ndim
     dev_counts = [int(d) for d in args.devices.split(",")]
 
-    records = []
-
     def emit(rec):
-        records.append(rec)
+        # Append immediately: a later size OOMing must not lose earlier rows.
         print(json.dumps(rec), flush=True)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     sharded_default = "sharded_grid3d" if args.ndim == 3 else "sharded_grid"
     if args.strong:
@@ -177,9 +177,6 @@ def main(argv=None) -> int:
             emit(run_one(engine, n, args.steps, repeats=args.repeats,
                          config_kw=config_kw))
 
-    with open(args.out, "a") as f:
-        for r in records:
-            f.write(json.dumps(r) + "\n")
     return 0
 
 

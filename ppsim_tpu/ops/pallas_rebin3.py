@@ -163,17 +163,12 @@ def _axis_shuffle(planes, axis: int, n_phys: int, geom: Geometry3S,
     return outs
 
 
-def _inplane_kernel(yoff_ref, *refs, cap, evac_cap, geom: Geometry3S):
-    in_refs, out_refs, cnt_ref = refs[:7], refs[7:14], refs[14]
+def _emit_ycounts(planes, yoff_ref, cnt_ref, cap, geom: Geometry3S):
+    """Write the (3,) y-direction count planes of ``planes`` (the y pass's
+    acceptance inputs). The y clamp is a scalar: every bin in a slab shares
+    gy."""
     i = pl.program_id(0)
     inv = jnp.float32(1.0 / geom.bin_size)
-
-    planes = [[in_refs[k][s, 0] for s in range(cap)] for k in range(7)]
-    planes = _axis_shuffle(planes, 0, geom.xs, geom, evac_cap)
-    planes = _axis_shuffle(planes, 1, geom.zs, geom, evac_cap)
-
-    # y-direction counts of the post-xz state (the y pass's acceptance
-    # inputs). The y clamp is a scalar: every bin in a slab shares gy.
     gy = yoff_ref[i, 0]
     shape = planes[6][0].shape
     lo = -jnp.minimum(gy, 1)
@@ -192,6 +187,56 @@ def _inplane_kernel(yoff_ref, *refs, cap, evac_cap, geom: Geometry3S):
     cnt_ref[_ALIVE, 0] = ca
     cnt_ref[_M_PLUS, 0] = cp
 
+
+def _xpass_kernel(*refs, cap, evac_cap, geom: Geometry3S):
+    # One y-slab x one Z-chunk per grid step; the x pass's dependencies run
+    # only along x (full in the block), so Z tiles freely.
+    in_refs, out_refs = refs[:7], refs[7:14]
+    planes = [[in_refs[k][s, 0] for s in range(cap)] for k in range(7)]
+    planes = _axis_shuffle(planes, 0, geom.xs, geom, evac_cap)
+    for k in range(7):
+        for s in range(cap):
+            out_refs[k][s, 0] = planes[k][s]
+
+
+def _zpass_kernel(yoff_ref, *refs, cap, evac_cap, geom: Geometry3S):
+    # One y-slab x one X-chunk per grid step; z dependencies run only along
+    # z (full in the block). Emits the y-direction counts of the result.
+    in_refs, out_refs, cnt_ref = refs[:7], refs[7:14], refs[14]
+    planes = [[in_refs[k][s, 0] for s in range(cap)] for k in range(7)]
+    planes = _axis_shuffle(planes, 1, geom.zs, geom, evac_cap)
+    _emit_ycounts(planes, yoff_ref, cnt_ref, cap, geom)
+    for k in range(7):
+        for s in range(cap):
+            out_refs[k][s, 0] = planes[k][s]
+
+
+def _chunk_of(total: int, unit: int, width: int, budget: int) -> int:
+    """Largest divisor of ``total`` that is a multiple of ``unit`` with
+    chunk_bytes = d * width * 4 <= budget (falls back to ``unit``)."""
+    best = unit
+    d = unit
+    while d <= total:
+        if total % d == 0 and d * width * 4 <= budget:
+            best = d
+        d += unit
+    return best
+
+
+# Above this (X, Z) plane size the fused x+z kernel's VMEM stack outgrows
+# the chip (measured: 168x256 planes at n=16.8M want ~140MB of 128MB);
+# the split path tiles each pass along its dependency-free axis instead,
+# paying one extra state round trip per rebin.
+_FUSE_LIMIT_BYTES = 80 * 1024
+_CHUNK_BUDGET = 72 * 1024
+
+
+def _inplane_kernel(yoff_ref, *refs, cap, evac_cap, geom: Geometry3S):
+    in_refs, out_refs, cnt_ref = refs[:7], refs[7:14], refs[14]
+    planes = [[in_refs[k][s, 0] for s in range(cap)] for k in range(7)]
+    planes = _axis_shuffle(planes, 0, geom.xs, geom, evac_cap)
+    planes = _axis_shuffle(planes, 1, geom.zs, geom, evac_cap)
+    _emit_ycounts(planes, yoff_ref, cnt_ref, cap, geom)
     for k in range(7):
         for s in range(cap):
             out_refs[k][s, 0] = planes[k][s]
@@ -276,40 +321,81 @@ def _ypass_kernel(yoff_ref, *refs, cap, evac_cap, geom: Geometry3S):
             out_refs[k][s, 0] = outs[k][s]
 
 
-@functools.partial(jax.jit, static_argnames=("geom", "evac_cap", "interpret"))
+@functools.partial(jax.jit, static_argnames=("geom", "evac_cap", "interpret",
+                                             "fuse_limit"))
 def rebin3_inplane_pallas(state: Slab3State, geom: Geometry3S, evac_cap: int,
-                          interpret: bool = False, y0=None):
-    """x pass + z pass fused in VMEM, plus the y-direction count planes of
-    the result. Returns ``(Slab3State, counts (3, Y, X, Z) float32)``."""
+                          interpret: bool = False, y0=None,
+                          fuse_limit: int = _FUSE_LIMIT_BYTES):
+    """x pass + z pass, plus the y-direction count planes of the result.
+    Returns ``(Slab3State, counts (3, Y, X, Z) float32)``.
+
+    Small (X, Z) planes run both passes fused in one kernel (no state round
+    trip between them); past ``fuse_limit`` plane bytes the passes split
+    into two kernels, each tiling the axis it has no dependencies along, so
+    VMEM stays bounded at any problem size."""
     cap = geom.capacity
     Y = state.xl.shape[1]
     Xp, Zp = state.xl.shape[2], state.xl.shape[3]
     base = 0 if y0 is None else y0
     yoff = (base + jnp.arange(Y, dtype=jnp.int32))[:, None]
-
-    main = pl.BlockSpec((cap, 1, Xp, Zp), lambda i: (0, i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((3, 1, Xp, Zp), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM)
-    yspec = pl.BlockSpec((Y, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     f32 = jnp.float32
-    out_shapes = (
+    params = pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
+    field_shapes = (
         [jax.ShapeDtypeStruct((cap, Y, Xp, Zp), f32)] * 6
         + [jax.ShapeDtypeStruct((cap, Y, Xp, Zp), jnp.int32)]
-        + [jax.ShapeDtypeStruct((3, Y, Xp, Zp), f32)]
     )
-    out = pl.pallas_call(
-        functools.partial(_inplane_kernel, cap=cap, evac_cap=evac_cap,
+    cnt_shape = jax.ShapeDtypeStruct((3, Y, Xp, Zp), f32)
+
+    if Xp * Zp * 4 <= fuse_limit:
+        main = pl.BlockSpec((cap, 1, Xp, Zp), lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((3, 1, Xp, Zp), lambda i: (0, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        yspec = pl.BlockSpec((Y, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        out = pl.pallas_call(
+            functools.partial(_inplane_kernel, cap=cap, evac_cap=evac_cap,
+                              geom=geom),
+            grid=(Y,),
+            in_specs=[yspec] + [main] * 7,
+            out_specs=[main] * 7 + [cspec],
+            out_shape=field_shapes + [cnt_shape],
+            interpret=interpret,
+            compiler_params=params,
+        )(yoff, *state)
+        return Slab3State(*out[:7]), out[7]
+
+    # ---- split path: x pass over Z-chunks, then z pass over X-chunks ----
+    zc = _chunk_of(Zp, 128, Xp, _CHUNK_BUDGET)
+    xspec = pl.BlockSpec((cap, 1, Xp, zc), lambda i, j: (0, i, 0, j),
+                         memory_space=pltpu.VMEM)
+    mid = pl.pallas_call(
+        functools.partial(_xpass_kernel, cap=cap, evac_cap=evac_cap,
                           geom=geom),
-        grid=(Y,),
-        in_specs=[yspec] + [main] * 7,
-        out_specs=[main] * 7 + [cspec],
-        out_shape=out_shapes,
+        grid=(Y, Zp // zc),
+        in_specs=[xspec] * 7,
+        out_specs=[xspec] * 7,
+        out_shape=field_shapes,
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-    )(yoff, *state)
+        compiler_params=params,
+    )(*state)
+
+    xc = _chunk_of(Xp, 8, Zp, _CHUNK_BUDGET)
+    zspec = pl.BlockSpec((cap, 1, xc, Zp), lambda i, j: (0, i, j, 0),
+                         memory_space=pltpu.VMEM)
+    czspec = pl.BlockSpec((3, 1, xc, Zp), lambda i, j: (0, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    yspec2 = pl.BlockSpec((Y, 1), lambda i, j: (0, 0),
+                          memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_zpass_kernel, cap=cap, evac_cap=evac_cap,
+                          geom=geom),
+        grid=(Y, Xp // xc),
+        in_specs=[yspec2] + [zspec] * 7,
+        out_specs=[zspec] * 7 + [czspec],
+        out_shape=field_shapes + [cnt_shape],
+        interpret=interpret,
+        compiler_params=params,
+    )(yoff, *mid)
     return Slab3State(*out[:7]), out[7]
 
 
@@ -337,18 +423,23 @@ def rebin3_ypass_pallas(state: Slab3State, counts, geom: Geometry3S,
     # a 3-slab block cannot slide by one slab — instead each ext array is
     # passed once per window offset with a 1-slab block (same HBM buffer,
     # no host-side duplication; each slab is fetched 3x/5x across the grid,
-    # the same traffic the 2D row-view design pays).
+    # the same traffic the 2D row-view design pays). The grid also tiles X
+    # (y decisions are per-(x, z) element), bounding VMEM at any size.
+    xc = _chunk_of(Xp, 8, Zp, _CHUNK_BUDGET)
+
     def slab_spec(off):
-        return pl.BlockSpec((cap, 1, Xp, Zp), lambda i, off=off: (0, i + off, 0, 0),
+        return pl.BlockSpec((cap, 1, xc, Zp),
+                            lambda i, j, off=off: (0, i + off, j, 0),
                             memory_space=pltpu.VMEM)
 
     def cnt_spec(off):
-        return pl.BlockSpec((3, 1, Xp, Zp), lambda i, off=off: (0, i + off, 0, 0),
+        return pl.BlockSpec((3, 1, xc, Zp),
+                            lambda i, j, off=off: (0, i + off, j, 0),
                             memory_space=pltpu.VMEM)
 
-    main = pl.BlockSpec((cap, 1, Xp, Zp), lambda i: (0, i, 0, 0),
+    main = pl.BlockSpec((cap, 1, xc, Zp), lambda i, j: (0, i, j, 0),
                         memory_space=pltpu.VMEM)
-    yspec = pl.BlockSpec((Y, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    yspec = pl.BlockSpec((Y, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     out_shapes = (
         [jax.ShapeDtypeStruct((cap, Y, Xp, Zp), jnp.float32)] * 6
         + [jax.ShapeDtypeStruct((cap, Y, Xp, Zp), jnp.int32)]
@@ -365,13 +456,13 @@ def rebin3_ypass_pallas(state: Slab3State, counts, geom: Geometry3S,
     out = pl.pallas_call(
         functools.partial(_ypass_kernel, cap=cap, evac_cap=evac_cap,
                           geom=geom),
-        grid=(Y,),
+        grid=(Y, Xp // xc),
         in_specs=in_specs,
         out_specs=[main] * 7,
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
     )(yoff, *ins[1:])
     return Slab3State(*out)

@@ -99,16 +99,23 @@ def test_sharded_grid3d_matches_grid3d(impl):
 
 
 @pytest.mark.slow
-def test_pallas_rebin3_matches_xla():
-    """The Mosaic 3D rebin (fused xz pass + y pass) against the XLA twin
-    grid3_rebin_axes: identical acceptance algebra, so particle-level state
-    must match EXACTLY (3D analog of test_pallas_rebin_matches_xla)."""
+@pytest.mark.parametrize("path", ["fused", "split"])
+def test_pallas_rebin3_matches_xla(path):
+    """The Mosaic 3D rebin against the XLA twin grid3_rebin_axes:
+    identical acceptance algebra, so particle-level state must match
+    EXACTLY (3D analog of test_pallas_rebin_matches_xla). Covers both the
+    fused xz kernel (small planes) and the chunked split path (the
+    big-plane/VMEM-bounded variant, forced here via fuse_limit=0)."""
     import jax
     import jax.numpy as jnp
 
     from ppsim_tpu.ops import grid3d_ops
     from ppsim_tpu.ops.grid3d_ops import Geometry3S
-    from ppsim_tpu.ops.pallas_rebin3 import grid3_rebin_pallas
+    from ppsim_tpu.ops.pallas_rebin3 import (
+        grid3_rebin_pallas,
+        rebin3_inplane_pallas,
+        rebin3_ypass_pallas,
+    )
 
     cfg = SimConfig(num_parts=500, **BASE3)
     geom = Geometry3S.for_config(cfg)
@@ -128,9 +135,16 @@ def test_pallas_rebin3_matches_xla():
     a, amon = jax.jit(
         lambda s: grid3d_ops.grid3_rebin_axes(s, geom, cfg.evac_capacity)
     )(slab)
-    b, bmon = grid3_rebin_pallas(slab, geom, cfg.evac_capacity, interpret=True)
-    assert int(amon.dropped) == int(bmon.dropped) == 0
-    assert int(amon.max_occupancy) == int(bmon.max_occupancy)
+    if path == "fused":
+        b, bmon = grid3_rebin_pallas(slab, geom, cfg.evac_capacity,
+                                     interpret=True)
+        assert int(amon.dropped) == int(bmon.dropped) == 0
+        assert int(amon.max_occupancy) == int(bmon.max_occupancy)
+    else:
+        mid, counts = rebin3_inplane_pallas(slab, geom, cfg.evac_capacity,
+                                            interpret=True, fuse_limit=0)
+        b = rebin3_ypass_pallas(mid, counts, geom, cfg.evac_capacity,
+                                interpret=True)
     # deferred counts use different (both valid) conventions: the XLA twin
     # reports max rejected-per-pass, the Pallas wrapper reports post-state
     # residual movers — state equality below is the real contract.
