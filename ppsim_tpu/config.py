@@ -104,10 +104,23 @@ class SimConfig:
     # (same deferral backpressure as 2D).
     grid3_bin_scale: float = 3.0
     grid3_capacity: int = 10
-    # 3D rebin cadence: the 3D slack (grid3_bin_size - cutoff)/2 = 0.01 is
-    # half the 2D default's, so the cadence halves too (drift bound
-    # rebin3_every * max|v| * dt <= slack; max|v| ~ 3.8 observed at 1M).
-    rebin3_every: int = 4
+    # Snap the 3D grid's lane/sublane axes: choose per-axis bin sizes so the
+    # z bin count lands on a multiple of 128 (the TPU lane tile) and x on a
+    # multiple of 8 (sublanes), compensating occupancy with the other axes
+    # (bsx*bsy*bsz is held at grid3_bin_size^3, so capacity stays valid).
+    # The physical bin count is invariant at fixed occupancy — the padded
+    # (X, Z) planes are not: an unsnapped cube pads z up to the next 128
+    # (57% dead lanes at n=16.8M, 2x at 1M). See Geometry3S.for_config.
+    grid3_snap_lanes: bool = True
+    # Assumed max particle speed for the 3D stale-slack feasibility bound
+    # and the auto rebin cadence (observed max |v| ~ 3.8 at 1M-16.8M; the
+    # runtime monitor still checks the MEASURED speed, engines/grid3d.py).
+    grid3_vmax: float = 4.0
+    # 3D rebin cadence (drift bound: cadence * max|v| * dt <= per-axis
+    # slack (bin_side - cutoff)/2). None = auto from the chosen geometry's
+    # tightest axis via Geometry3S.cadence (snapped axes have less slack
+    # than the isotropic default's 0.01).
+    rebin3_every: Optional[int] = None
     # Rebin cadence in steps. Stale binning stays correct while accumulated
     # drift satisfies rebin_every * max|v| * dt <= (bin_side - cutoff) / 2;
     # monitored at runtime via max_speed.
@@ -202,8 +215,10 @@ class SimConfig:
                 f"grid3_bin_scale={self.grid3_bin_scale} must exceed 1: the 3D "
                 "grid engines need positive stale-bin slack (bin side > cutoff)."
             )
-        if self.rebin3_every < 1 or self.grid3_capacity < 1:
-            raise ValueError("rebin3_every / grid3_capacity must be >= 1")
+        if self.rebin3_every is not None and self.rebin3_every < 1:
+            raise ValueError("rebin3_every must be >= 1 (or None for auto)")
+        if self.grid3_capacity < 1:
+            raise ValueError("grid3_capacity must be >= 1")
         if self.force_law not in ("repulsive", "lj"):
             raise ValueError(
                 f"unknown force_law {self.force_law!r}; have 'repulsive', 'lj'"

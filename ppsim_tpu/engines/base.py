@@ -171,11 +171,20 @@ class Engine:
             self._final_jit = jax.jit(self.final_state)
         return self._final_jit(carry)
 
+    # Engines whose init_carry materializes FRESH buffers (the slab packers)
+    # set this True so the run program donates its input carry — at 16.8M
+    # particles in 3D the slab state alone is ~2 GB, and keeping the input
+    # alive across the run doubles peak HBM for nothing. Engines whose carry
+    # aliases the caller's ParticleState arrays (oracle, binned, sharded)
+    # must keep it False: donating would delete the caller's state.
+    donate_run_carry: bool = False
+
     def _program(self, nsteps: int, savefreq: int):
         key = (nsteps, savefreq)
         if key not in self._programs:
             self._programs[key] = jax.jit(
-                functools.partial(self._run_impl, nsteps=nsteps, savefreq=savefreq)
+                functools.partial(self._run_impl, nsteps=nsteps, savefreq=savefreq),
+                donate_argnums=(0,) if self.donate_run_carry else (),
             )
         return self._programs[key]
 

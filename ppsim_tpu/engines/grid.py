@@ -43,6 +43,10 @@ class GridCarry(NamedTuple):
 @register_engine
 class GridEngine(Engine):
     name = "grid"
+    # The whole slab family packs a FRESH slab in init_carry, so the run
+    # program donates its input carry (halves peak HBM at 16.8M+ particles;
+    # see Engine._program).
+    donate_run_carry = True
 
     def __init__(self, config):
         super().__init__(config)

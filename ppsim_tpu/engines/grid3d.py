@@ -8,7 +8,8 @@ The 2D slab architecture carries over wholesale (see ops/grid3d_ops.py for
 the layout): fields are (capacity, Y, X, Z) with y the blocked/shard axis
 (x sublanes, z lanes), and the statically-scheduled run driver, monitors,
 and save path are inherited from the 2D GridEngine unchanged (the rebin
-cadence is ``rebin3_every``: 3D slack is half the 2D default's). Both force laws
+cadence is ``rebin3_every``, or auto-derived from the chosen geometry's
+tightest-axis slack — see Geometry3S.cadence). Both force laws
 plug in through the same seam; the full stretch config
 (BASELINE.json configs[4]) is ``SimConfig(ndim=3, force_law="lj")`` with
 ``--engine grid3d`` or ``pallas3d``.
@@ -59,7 +60,9 @@ class Grid3DEngine(GridEngine):
 
     @property
     def rebin_every(self) -> int:
-        return self.config.rebin3_every
+        # Geometry-aware: lane-snapped anisotropic bins have per-axis slack,
+        # so the auto cadence comes from the chosen geometry's tightest axis.
+        return self.geom.cadence(self.config)
 
     def check(self, result: RunResult) -> None:
         cfg = self.config
@@ -73,7 +76,8 @@ class Grid3DEngine(GridEngine):
                 f"{int(result.monitors.migrate_dropped)} particles dropped"
             )
         drift = self.rebin_every * float(result.monitors.max_speed) * cfg.dt
-        slack = (cfg.grid3_bin_size - cfg.cutoff) / 2.0
+        g = self.geom
+        slack = (min(g.bsx, g.bsy, g.bsz) - cfg.cutoff) / 2.0
         if drift > slack:
             raise RuntimeError(
                 f"stale-bin slack violated: {drift:.4g} > {slack:.4g}; "

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -58,6 +59,12 @@ DIRS3 = [
 STAY3 = 13
 
 
+# Measured at n=16.8M (BASELINE.md r3 phase split): one Mosaic rebin call
+# costs ~0.42 of one force-step call at equal padded volume. Used only to
+# rank candidate geometries against their rebin cadence in for_config.
+_REBIN_COST_FACTOR = 0.42
+
+
 @dataclasses.dataclass(frozen=True)
 class Geometry3S:
     ys: int  # y bins (outer blocked axis; the shard-strip axis) — PHYSICAL
@@ -70,19 +77,82 @@ class Geometry3S:
     # Physical clamps (slab3_dirs, packing) always use ``ys``.
     ys_pad: int
     capacity: int
-    bin_size: float
+    # Per-axis bin sides. Anisotropic when lane-snapped (for_config below);
+    # bsx * bsy * bsz always equals grid3_bin_size^3, so mean occupancy and
+    # grid3_capacity are geometry-independent.
+    bsy: float
+    bsx: float
+    bsz: float
 
     @classmethod
     def for_config(cls, config, sublane: int = 8, lane: int = 128) -> "Geometry3S":
-        n = config.grid3_bins_per_side
-        return cls(
-            ys=n, xs=n, zs=n,
-            xs_pad=-(-n // sublane) * sublane,
-            zs_pad=-(-n // lane) * lane,
-            ys_pad=n,
-            capacity=config.grid3_capacity,
-            bin_size=config.grid3_bin_size,
-        )
+        """Choose the 3D grid geometry for ``config``.
+
+        At fixed occupancy the PHYSICAL bin count is invariant — what varies
+        across geometries is lane/sublane padding: (X, Z) planes pad x to
+        multiples of 8 and z to multiples of 128, and a cubic grid's z count
+        (64..163 at the benchmark sizes) wastes up to 2x of every vector
+        lane the step and rebin kernels issue. With ``grid3_snap_lanes`` the
+        z bin count snaps to a multiple of 128 (exact-cover bins, bsz =
+        size/zs), x to a multiple of 8, and y absorbs the occupancy
+        compensation. Candidates that leave less than one auto-cadence step
+        of stale-bin slack on any axis are rejected; the survivor with the
+        lowest padded volume x rebin-cadence cost wins (the isotropic
+        geometry is always a candidate, and tiny test grids always fall
+        back to it).
+        """
+        n0 = config.grid3_bins_per_side
+        b0 = config.grid3_bin_size
+        L = config.size
+        cands = [dict(ys=n0, xs=n0, zs=n0, bsy=b0, bsx=b0, bsz=b0)]
+        if config.grid3_snap_lanes and n0 > 1:
+            min_bs = config.cutoff + 2.0 * config.grid3_vmax * config.dt
+            vol = b0 ** 3
+            for zs in sorted({lane * (n0 // lane), lane * -(-n0 // lane)}):
+                if zs < lane:
+                    continue
+                bsz = L / zs
+                if bsz < min_bs:
+                    continue
+                bxy = math.sqrt(vol / bsz)
+                xs = max(sublane, -(-math.ceil(L / bxy) // sublane) * sublane)
+                bsx = L / xs
+                if bsx < min_bs:
+                    continue
+                bsy = vol / (bsx * bsz)
+                if bsy < min_bs:
+                    continue
+                ys = max(1, math.ceil(L / bsy))
+                cands.append(dict(ys=ys, xs=xs, zs=zs,
+                                  bsy=bsy, bsx=bsx, bsz=bsz))
+
+        def geom_of(c):
+            return cls(
+                ys=c["ys"], xs=c["xs"], zs=c["zs"],
+                xs_pad=-(-c["xs"] // sublane) * sublane,
+                zs_pad=-(-c["zs"] // lane) * lane,
+                ys_pad=c["ys"],
+                capacity=config.grid3_capacity,
+                bsy=c["bsy"], bsx=c["bsx"], bsz=c["bsz"],
+            )
+
+        def cost(g):
+            vol_pad = g.ys * g.xs_pad * g.zs_pad
+            return vol_pad * (1.0 + _REBIN_COST_FACTOR / g.cadence(config))
+
+        return min((geom_of(c) for c in cands), key=cost)
+
+    def cadence(self, config) -> int:
+        """Rebin cadence: the explicit ``rebin3_every`` override, else the
+        largest cadence (capped at 8) whose worst-case drift at the assumed
+        ``grid3_vmax`` stays inside the tightest axis's stale-bin slack.
+        The runtime check (engines/grid3d.py) re-verifies against the
+        MEASURED max speed."""
+        if config.rebin3_every is not None:
+            return config.rebin3_every
+        slack = (min(self.bsx, self.bsy, self.bsz) - config.cutoff) / 2.0
+        step_drift = config.grid3_vmax * config.dt
+        return max(1, min(8, int(slack / step_drift)))
 
     @property
     def shape(self):
@@ -110,11 +180,12 @@ def slab3_from_particles(pos, vel, geom: Geometry3S):
 
     pos = jnp.asarray(pos, jnp.float32)
     vel = jnp.asarray(vel, jnp.float32)
-    bs = jnp.float32(geom.bin_size)
-    inv = jnp.float32(1.0 / geom.bin_size)
-    bx = jnp.clip((pos[:, 0] * inv).astype(jnp.int32), 0, geom.xs - 1)
-    by = jnp.clip((pos[:, 1] * inv).astype(jnp.int32), 0, geom.ys - 1)
-    bz = jnp.clip((pos[:, 2] * inv).astype(jnp.int32), 0, geom.zs - 1)
+    bx = jnp.clip((pos[:, 0] * jnp.float32(1.0 / geom.bsx)).astype(jnp.int32),
+                  0, geom.xs - 1)
+    by = jnp.clip((pos[:, 1] * jnp.float32(1.0 / geom.bsy)).astype(jnp.int32),
+                  0, geom.ys - 1)
+    bz = jnp.clip((pos[:, 2] * jnp.float32(1.0 / geom.bsz)).astype(jnp.int32),
+                  0, geom.zs - 1)
     bin_id = (by * geom.xs_pad + bx) * geom.zs_pad + bz
 
     order, sorted_id, rank = sort_by_bin(bin_id)
@@ -132,9 +203,9 @@ def slab3_from_particles(pos, vel, geom: Geometry3S):
         return out.at[flat].set(vals.astype(dtype), mode="drop").reshape(geom.shape)
 
     state = Slab3State(
-        scatter(pos[order, 0] - xx * bs, BIG, jnp.float32),
-        scatter(pos[order, 1] - yy * bs, BIG, jnp.float32),
-        scatter(pos[order, 2] - zz * bs, BIG, jnp.float32),
+        scatter(pos[order, 0] - xx * jnp.float32(geom.bsx), BIG, jnp.float32),
+        scatter(pos[order, 1] - yy * jnp.float32(geom.bsy), BIG, jnp.float32),
+        scatter(pos[order, 2] - zz * jnp.float32(geom.bsz), BIG, jnp.float32),
         scatter(vel[order, 0], 0.0, jnp.float32),
         scatter(vel[order, 1], 0.0, jnp.float32),
         scatter(vel[order, 2], 0.0, jnp.float32),
@@ -147,15 +218,14 @@ def slab3_from_particles(pos, vel, geom: Geometry3S):
 def _offsets(geom: Geometry3S, shape, y0=0):
     """Global (x, y, z) bin-origin offsets for every slot-plane element.
     ``y0``: global index of the first y slab (sharded strips)."""
-    bs = jnp.float32(geom.bin_size)
     nd = len(shape)
     y = y0 + jax.lax.broadcasted_iota(jnp.int32, shape, nd - 3)
     x = jax.lax.broadcasted_iota(jnp.int32, shape, nd - 2)
     z = jax.lax.broadcasted_iota(jnp.int32, shape, nd - 1)
     return (
-        x.astype(jnp.float32) * bs,
-        y.astype(jnp.float32) * bs,
-        z.astype(jnp.float32) * bs,
+        x.astype(jnp.float32) * jnp.float32(geom.bsx),
+        y.astype(jnp.float32) * jnp.float32(geom.bsy),
+        z.astype(jnp.float32) * jnp.float32(geom.bsz),
     )
 
 
@@ -208,7 +278,6 @@ def grid3_force_xla(xl, yl, zl, geom: Geometry3S, coef_of):
     """XLA 27-plane stencil force; ``coef_of(r2) -> coef`` is the force-law
     seam (physics.coef_from_r2 / lj_coef_from_r2 partials)."""
     cap = geom.capacity
-    bs = geom.bin_size
     ax = jnp.zeros_like(xl)
     ay = jnp.zeros_like(yl)
     az = jnp.zeros_like(zl)
@@ -216,9 +285,9 @@ def grid3_force_xla(xl, yl, zl, geom: Geometry3S, coef_of):
         xn_all = _shifted3(xl, dy, dx, dz, geom)
         yn_all = _shifted3(yl, dy, dx, dz, geom)
         zn_all = _shifted3(zl, dy, dx, dz, geom)
-        offx = jnp.float32(dx * bs)
-        offy = jnp.float32(dy * bs)
-        offz = jnp.float32(dz * bs)
+        offx = jnp.float32(dx * geom.bsx)
+        offy = jnp.float32(dy * geom.bsy)
+        offz = jnp.float32(dz * geom.bsz)
 
         def body(j, acc, xn_all=xn_all, yn_all=yn_all, zn_all=zn_all,
                  offx=offx, offy=offy, offz=offz):
@@ -290,7 +359,7 @@ def _axis_pass(state: Slab3State, geom: Geometry3S, evac_cap: int, axis: int,
     storage, never positions.
     """
     cap = geom.capacity
-    bs = jnp.float32(geom.bin_size)
+    bs = jnp.float32((geom.bsy, geom.bsx, geom.bsz)[axis])
     dy, dx, dz, _, alive = slab3_dirs(state, geom, y0=y0)
     adir = (dy, dx, dz)[axis]
 
@@ -413,14 +482,15 @@ def grid3_rebin_axes(state: Slab3State, geom: Geometry3S, evac_cap: int,
 def slab3_dirs(state: Slab3State, geom: Geometry3S, y0=0):
     """Per-slot movement direction per axis, clamped to one hop and to the
     physical grid, plus the far-move flag (3-axis slab_dirs)."""
-    inv_bs = jnp.float32(1.0 / geom.bin_size)
     alive = state.pid >= 0
 
-    def raw(local):
-        d = jnp.floor(local * inv_bs).astype(jnp.int32)
+    def raw(local, bs):
+        d = jnp.floor(local * jnp.float32(1.0 / bs)).astype(jnp.int32)
         return jnp.where(alive, d, 0)
 
-    dx_r, dy_r, dz_r = raw(state.xl), raw(state.yl), raw(state.zl)
+    dx_r = raw(state.xl, geom.bsx)
+    dy_r = raw(state.yl, geom.bsy)
+    dz_r = raw(state.zl, geom.bsz)
     far = alive & (
         (jnp.abs(dx_r) > 1) | (jnp.abs(dy_r) > 1) | (jnp.abs(dz_r) > 1)
     )

@@ -49,7 +49,9 @@ def _step3_kernel(yoff_ref, x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
     i = pl.program_id(0)
     dtf = jnp.float32(dt)
     L = jnp.float32(size)
-    bs = jnp.float32(geom.bin_size)
+    bsx = jnp.float32(geom.bsx)
+    bsy = jnp.float32(geom.bsy)
+    bsz = jnp.float32(geom.bsz)
     shape = x_ref.shape[2:]  # (Xp, Zp)
     xi = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     zi = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -118,9 +120,9 @@ def _step3_kernel(yoff_ref, x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
 
     def inplane_body(j, _):
         for dx, dz in INPLANE:
-            xn = rolled(plane(x_ref, j), dx, dz) + jnp.float32(dx) * bs
+            xn = rolled(plane(x_ref, j), dx, dz) + jnp.float32(dx) * bsx
             yn = rolled(plane(y_ref, j), dx, dz, mask=False)
-            zn = rolled(plane(z_ref, j), dx, dz, mask=False) + jnp.float32(dz) * bs
+            zn = rolled(plane(z_ref, j), dx, dz, mask=False) + jnp.float32(dz) * bsz
             tx = jnp.zeros(shape, jnp.float32)
             ty = jnp.zeros(shape, jnp.float32)
             tz = jnp.zeros(shape, jnp.float32)
@@ -142,16 +144,16 @@ def _step3_kernel(yoff_ref, x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
     # 3) the y+1 slab: 9 (dx, dz) offsets; partner halves ride the spill
     def ynext_body(j, _):
         xj = plane(xf_ref, j)
-        yj = plane(yf_ref, j) + bs  # dy=+1 offset
+        yj = plane(yf_ref, j) + bsy  # dy=+1 offset
         zj = plane(zf_ref, j)
         scx = jnp.zeros(shape, jnp.float32)
         scy = jnp.zeros(shape, jnp.float32)
         scz = jnp.zeros(shape, jnp.float32)
         for dx in (-1, 0, 1):
             for dz in (-1, 0, 1):
-                xn = rolled(xj, dx, dz) + jnp.float32(dx) * bs
+                xn = rolled(xj, dx, dz) + jnp.float32(dx) * bsx
                 yn = rolled(yj, dx, dz, mask=False)
-                zn = rolled(zj, dx, dz, mask=False) + jnp.float32(dz) * bs
+                zn = rolled(zj, dx, dz, mask=False) + jnp.float32(dz) * bsz
                 tx = jnp.zeros(shape, jnp.float32)
                 ty = jnp.zeros(shape, jnp.float32)
                 tz = jnp.zeros(shape, jnp.float32)
@@ -183,13 +185,13 @@ def _step3_kernel(yoff_ref, x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
         def _():
             def ghost_body(j, _):
                 gxj = plane(gx_ref, j)
-                gyj = plane(gy_ref, j) - bs  # dy=-1 offset
+                gyj = plane(gy_ref, j) - bsy  # dy=-1 offset
                 gzj = plane(gz_ref, j)
                 for dx in (-1, 0, 1):
                     for dz in (-1, 0, 1):
-                        xn = rolled(gxj, dx, dz) + jnp.float32(dx) * bs
+                        xn = rolled(gxj, dx, dz) + jnp.float32(dx) * bsx
                         yn = rolled(gyj, dx, dz, mask=False)
-                        zn = rolled(gzj, dx, dz, mask=False) + jnp.float32(dz) * bs
+                        zn = rolled(gzj, dx, dz, mask=False) + jnp.float32(dz) * bsz
                         for s in range(cap):
                             fx, fy, fz = pair(xn, yn, zn, s)
                             ax_ref[s] = ax_ref[s] + fx
@@ -200,9 +202,9 @@ def _step3_kernel(yoff_ref, x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
             jax.lax.fori_loop(0, cap, ghost_body, 0)
 
     # 4) Verlet move + wall reflection (reference: serial.cpp:44-61)
-    x_off = xi.astype(jnp.float32) * bs
-    y_off = yoff_ref[i, 0].astype(jnp.float32) * bs
-    z_off = zi.astype(jnp.float32) * bs
+    x_off = xi.astype(jnp.float32) * bsx
+    y_off = yoff_ref[i, 0].astype(jnp.float32) * bsy
+    z_off = zi.astype(jnp.float32) * bsz
 
     for s in range(cap):
         xl = plane(x_ref, s)

@@ -94,8 +94,9 @@ def _axis_shuffle(planes, axis: int, n_phys: int, geom: Geometry3S,
     shape = planes[6][0].shape
     extent = shape[axis]
     gi = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
-    inv = jnp.float32(1.0 / geom.bin_size)
-    bs = jnp.float32(geom.bin_size)
+    bs_phys = geom.bsx if axis == 0 else geom.bsz
+    inv = jnp.float32(1.0 / bs_phys)
+    bs = jnp.float32(bs_phys)
     cap_f = jnp.float32(cap)
     coord_idx = 0 if axis == 0 else 2  # xl for the x pass, zl for the z pass
 
@@ -168,7 +169,7 @@ def _emit_ycounts(planes, yoff_ref, cnt_ref, cap, geom: Geometry3S):
     acceptance inputs). The y clamp is a scalar: every bin in a slab shares
     gy."""
     i = pl.program_id(0)
-    inv = jnp.float32(1.0 / geom.bin_size)
+    inv = jnp.float32(1.0 / geom.bsy)
     gy = yoff_ref[i, 0]
     shape = planes[6][0].shape
     lo = -jnp.minimum(gy, 1)
@@ -248,8 +249,8 @@ def _ypass_kernel(yoff_ref, *refs, cap, evac_cap, geom: Geometry3S):
     f_refs, c_refs, out_refs = refs[:21], refs[21:26], refs[26:33]
     i = pl.program_id(0)
     gy = yoff_ref[i, 0]
-    inv = jnp.float32(1.0 / geom.bin_size)
-    bs = jnp.float32(geom.bin_size)
+    inv = jnp.float32(1.0 / geom.bsy)
+    bs = jnp.float32(geom.bsy)
     cap_f = jnp.float32(geom.capacity)
 
     def fplane(k, s, dy):

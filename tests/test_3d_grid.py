@@ -49,6 +49,115 @@ def test_pallas3d_interpret_matches_grid3d(cfg3):
     )
 
 
+def _aniso_geom(cfg, ys=5, xs=8, zs=4, capacity=8):
+    """A hand-built anisotropic (lane-snapped-style) geometry covering the
+    domain: per-axis bin sides differ, like Geometry3S.for_config's snapped
+    candidates at benchmark sizes (tiny test grids fall back to isotropic,
+    so the per-axis code paths need an explicit geometry)."""
+    from ppsim_tpu.ops.grid3d_ops import Geometry3S
+
+    L = cfg.size
+    return Geometry3S(
+        ys=ys, xs=xs, zs=zs, xs_pad=xs, zs_pad=128, ys_pad=ys,
+        capacity=capacity, bsy=L / ys, bsx=L / xs, bsz=L / zs,
+    )
+
+
+def test_grid3d_anisotropic_step_matches_oracle(cfg3):
+    """One XLA force+move step on per-axis bin sides against the O(N^2)
+    oracle: packing, 27-plane offsets, and move offsets must all use the
+    correct axis's bin side."""
+    import jax
+    import numpy as np
+
+    from ppsim_tpu.engines.grid3d import _coef_of
+    from ppsim_tpu.ops import grid3d_ops
+
+    state = init_particles(cfg3, seed=42, method="fast")
+    s1 = get_engine("oracle", cfg3).step_state(state)
+
+    geom = _aniso_geom(cfg3)
+    slab, overflow = jax.jit(
+        lambda p, v: grid3d_ops.slab3_from_particles(p, v, geom)
+    )(state.pos, state.vel)
+    assert int(overflow) == 0
+
+    def step(s):
+        accel = grid3d_ops.grid3_force_xla(s.xl, s.yl, s.zl, geom,
+                                           _coef_of(cfg3))
+        new, _ = grid3d_ops.grid3_move(s, accel, geom, cfg3.dt, cfg3.size)
+        return new
+
+    new = jax.jit(step)(slab)
+    pos, vel = grid3d_ops.slab3_to_particles(new, geom, cfg3.num_parts)
+    np.testing.assert_allclose(np.asarray(s1.pos), np.asarray(pos), atol=5e-7)
+    np.testing.assert_allclose(np.asarray(s1.vel), np.asarray(vel), atol=5e-5)
+
+
+def test_rebin3_anisotropic_conserves_and_matches(cfg3):
+    """Drifted anisotropic slab: the XLA rebin and the Mosaic rebin
+    (interpret) must agree bit-exactly and conserve all particles (per-axis
+    inv-bin-size in slab3_dirs/_axis_shuffle/ypass is what's under test)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ppsim_tpu.ops import grid3d_ops
+    from ppsim_tpu.ops.pallas_rebin3 import grid3_rebin_pallas
+
+    state = init_particles(cfg3, seed=3, method="fast")
+    geom = _aniso_geom(cfg3)
+    slab, _ = jax.jit(
+        lambda p, v: grid3d_ops.slab3_from_particles(p, v, geom)
+    )(state.pos, state.vel)
+    rng = np.random.default_rng(0)
+    # Per-axis drift scaled to each axis's own bin side (crossing-heavy).
+    d = rng.uniform(0.3, 0.45, (3,)) * np.array([geom.bsx, geom.bsy, geom.bsz])
+    alive = slab.pid >= 0
+    slab = slab._replace(
+        xl=jnp.where(alive, slab.xl + d[0], slab.xl),
+        yl=jnp.where(alive, slab.yl - d[1], slab.yl),
+        zl=jnp.where(alive, slab.zl + d[2], slab.zl),
+    )
+    a, amon = jax.jit(
+        lambda s: grid3d_ops.grid3_rebin_axes(s, geom, cfg3.evac_capacity)
+    )(slab)
+    b, bmon = grid3_rebin_pallas(slab, geom, cfg3.evac_capacity,
+                                 interpret=True)
+    assert int(amon.dropped) == int(bmon.dropped) == 0
+    assert int((np.asarray(a.pid) >= 0).sum()) == cfg3.num_parts
+    pa, va = grid3d_ops.slab3_to_particles(a, geom, cfg3.num_parts)
+    pb, vb = grid3d_ops.slab3_to_particles(b, geom, cfg3.num_parts)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_geometry3s_snap_invariants():
+    """for_config's snapped candidates: cover the domain, hold occupancy
+    (bsx*bsy*bsz == b0^3), land z on the 128-lane grid and x on the
+    8-sublane grid, and keep at least 1 step of stale slack."""
+    from ppsim_tpu.ops.grid3d_ops import Geometry3S
+
+    for n in (1_000_000, 16_777_216):
+        cfg = SimConfig(num_parts=n, ndim=3, density=7e-6)
+        g = Geometry3S.for_config(cfg)
+        L = cfg.size
+        assert g.xs * g.bsx >= L - 1e-9
+        assert g.ys * g.bsy >= L - 1e-9
+        assert g.zs * g.bsz >= L - 1e-9
+        assert abs(g.bsx * g.bsy * g.bsz - cfg.grid3_bin_size ** 3) < 1e-12
+        assert g.zs % 128 == 0 and g.xs % 8 == 0
+        assert g.cadence(cfg) >= 1
+        assert min(g.bsx, g.bsy, g.bsz) >= (
+            cfg.cutoff + 2 * cfg.grid3_vmax * cfg.dt - 1e-12
+        )
+        # padded volume never exceeds the isotropic fallback's
+        iso = Geometry3S.for_config(
+            SimConfig(num_parts=n, ndim=3, density=7e-6,
+                      grid3_snap_lanes=False))
+        assert g.ys * g.xs_pad * g.zs_pad <= iso.ys * iso.xs_pad * iso.zs_pad
+
+
 @pytest.mark.slow
 def test_grid3d_trajectory_matches_oracle(cfg3):
     state = init_particles(cfg3, seed=42, method="fast")
@@ -125,7 +234,8 @@ def test_pallas_rebin3_matches_xla(path):
     )(state.pos, state.vel)
     assert int(overflow) == 0
     rng = np.random.default_rng(0)
-    drift = rng.uniform(-0.45 * geom.bin_size, 0.45 * geom.bin_size, (3,))
+    bmin = min(geom.bsx, geom.bsy, geom.bsz)
+    drift = rng.uniform(-0.45 * bmin, 0.45 * bmin, (3,))
     alive = slab.pid >= 0
     slab = slab._replace(
         xl=jnp.where(alive, slab.xl + drift[0], slab.xl),
