@@ -56,7 +56,9 @@ class Grid3DEngine(GridEngine):
 
     @property
     def capacity(self) -> int:
-        return self.config.grid3_capacity
+        # The geometry may add anisotropy headroom slots on top of
+        # config.grid3_capacity (Geometry3S.for_config).
+        return self.geom.capacity
 
     @property
     def rebin_every(self) -> int:

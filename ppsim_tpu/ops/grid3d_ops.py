@@ -64,6 +64,14 @@ STAY3 = 13
 # rank candidate geometries against their rebin cadence in for_config.
 _REBIN_COST_FACTOR = 0.42
 
+# Speed-tail margin for the auto rebin cadence: collisions heat the
+# velocity tail over a 1000-step run well past the nominal grid3_vmax
+# bound (measured on TPU: max speed 5.21 at n=4.2M / density 7e-6 vs the
+# assumed 4.0 — the post-run slack check rejected the cadence-3 run).
+# The cadence is chosen as if speeds reach TAIL * grid3_vmax; the
+# engine's post-run check still verifies against the MEASURED maximum.
+_VMAX_TAIL = 1.5
+
 
 @dataclasses.dataclass(frozen=True)
 class Geometry3S:
@@ -78,8 +86,10 @@ class Geometry3S:
     ys_pad: int
     capacity: int
     # Per-axis bin sides. Anisotropic when lane-snapped (for_config below);
-    # bsx * bsy * bsz always equals grid3_bin_size^3, so mean occupancy and
-    # grid3_capacity are geometry-independent.
+    # bsx * bsy * bsz always equals grid3_bin_size^3, so MEAN occupancy is
+    # geometry-independent — but the axis-pass rebin's transient headroom is
+    # not: boundary-crossing traffic along an axis scales as 1/bs, so a
+    # thin snapped axis needs extra capacity slots (see for_config).
     bsy: float
     bsx: float
     bsz: float
@@ -127,31 +137,44 @@ class Geometry3S:
                                   bsy=bsy, bsx=bsx, bsz=bsz))
 
         def geom_of(c):
+            # Capacity headroom for anisotropy: the axis-factorized rebin
+            # defers a mover when its destination bin is transiently full,
+            # and the per-bin arrival traffic along an axis scales as
+            # 1/bs_axis. Measured on TPU at n=1M (snapped 43x48x128 grid,
+            # bsz = b0/2): capacity 10 chronically defers ~75 movers/step
+            # and eventually drops far-drifters; capacity 12 cuts deferrals
+            # 40x and drops to zero. Compensate ~2 slots per halving of the
+            # thinnest axis; the candidate then pays for the extra slot
+            # planes in cost() below, so thin-axis snaps only win when the
+            # lane savings exceed the capacity tax.
+            ratio = b0 / min(c["bsx"], c["bsy"], c["bsz"])
+            extra = max(0, round(2.0 * (ratio - 1.0)))
             return cls(
                 ys=c["ys"], xs=c["xs"], zs=c["zs"],
                 xs_pad=-(-c["xs"] // sublane) * sublane,
                 zs_pad=-(-c["zs"] // lane) * lane,
                 ys_pad=c["ys"],
-                capacity=config.grid3_capacity,
+                capacity=config.grid3_capacity + extra,
                 bsy=c["bsy"], bsx=c["bsx"], bsz=c["bsz"],
             )
 
         def cost(g):
-            vol_pad = g.ys * g.xs_pad * g.zs_pad
+            vol_pad = g.capacity * g.ys * g.xs_pad * g.zs_pad
             return vol_pad * (1.0 + _REBIN_COST_FACTOR / g.cadence(config))
 
         return min((geom_of(c) for c in cands), key=cost)
 
     def cadence(self, config) -> int:
         """Rebin cadence: the explicit ``rebin3_every`` override, else the
-        largest cadence (capped at 8) whose worst-case drift at the assumed
-        ``grid3_vmax`` stays inside the tightest axis's stale-bin slack.
-        The runtime check (engines/grid3d.py) re-verifies against the
-        MEASURED max speed."""
+        largest cadence (capped at 8) whose worst-case drift at
+        ``_VMAX_TAIL * grid3_vmax`` (speed tails heat past the nominal
+        bound over a run) stays inside the tightest axis's stale-bin
+        slack. The runtime check (engines/grid3d.py) re-verifies against
+        the MEASURED max speed."""
         if config.rebin3_every is not None:
             return config.rebin3_every
         slack = (min(self.bsx, self.bsy, self.bsz) - config.cutoff) / 2.0
-        step_drift = config.grid3_vmax * config.dt
+        step_drift = _VMAX_TAIL * config.grid3_vmax * config.dt
         return max(1, min(8, int(slack / step_drift)))
 
     @property

@@ -151,11 +151,20 @@ def test_geometry3s_snap_invariants():
         assert min(g.bsx, g.bsy, g.bsz) >= (
             cfg.cutoff + 2 * cfg.grid3_vmax * cfg.dt - 1e-12
         )
-        # padded volume never exceeds the isotropic fallback's
+        # anisotropy headroom: a thin snapped axis gets extra capacity
+        # slots (~2 per halving; calibrated on TPU at n=1M, see
+        # Geometry3S.for_config), never less than the configured base
+        ratio = cfg.grid3_bin_size / min(g.bsx, g.bsy, g.bsz)
+        assert g.capacity == cfg.grid3_capacity + max(
+            0, round(2.0 * (ratio - 1.0)))
+        # capacity-weighted padded volume never exceeds the isotropic
+        # fallback's (the snap only wins when lane savings beat the
+        # headroom tax)
         iso = Geometry3S.for_config(
             SimConfig(num_parts=n, ndim=3, density=7e-6,
                       grid3_snap_lanes=False))
-        assert g.ys * g.xs_pad * g.zs_pad <= iso.ys * iso.xs_pad * iso.zs_pad
+        assert (g.capacity * g.ys * g.xs_pad * g.zs_pad
+                <= iso.capacity * iso.ys * iso.xs_pad * iso.zs_pad)
 
 
 @pytest.mark.slow
