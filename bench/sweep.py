@@ -30,7 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
-            repeats: int = 1, config_kw=None, impl: str = None):
+            repeats: int = 1, config_kw=None, impl: str = None,
+            chunk_steps: int = None):
     import jax
 
     from ppsim_tpu.config import SimConfig
@@ -60,7 +61,8 @@ def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
         engine = cls(config, devices=jax.devices()[:devices], **kw)
     else:
         engine = get_engine(engine_name, config)
-    result, times = timed_run_repeats(engine, state, steps, 0, repeats=repeats)
+    result, times = timed_run_repeats(engine, state, steps, 0, repeats=repeats,
+                                      chunk_steps=chunk_steps)
     engine.check(result)
     best = min(times)
     return {
@@ -79,6 +81,7 @@ def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
         "deferred": int(result.monitors.deferred),
         "platform": jax.devices()[0].platform,
         "host_cores": os.cpu_count(),
+        "chunk_steps": chunk_steps,
         "config": dict(config_kw or {}),
         "ts": time.time(),
     }
@@ -120,6 +123,11 @@ def main(argv=None) -> int:
     ap.add_argument("--grid3-bin-scale", type=float, default=None)
     ap.add_argument("--grid3-capacity", type=int, default=None)
     ap.add_argument("--rebin3-every", type=int, default=None)
+    ap.add_argument("--chunk-steps", type=int, default=None,
+                    help="execute the timed run as nsteps/chunk invocations "
+                         "of one compiled chunk program (relay worker dies "
+                         "under ~minute-long single executions; timing "
+                         "contract unchanged — chunks dispatch async)")
     args = ap.parse_args(argv)
 
     if args.cpu_mesh:
@@ -158,13 +166,13 @@ def main(argv=None) -> int:
         for d in dev_counts:
             emit(run_one(engine, args.strong, args.steps, devices=d,
                          repeats=args.repeats, config_kw=config_kw,
-                         impl=args.impl))
+                         impl=args.impl, chunk_steps=args.chunk_steps))
     elif args.weak:
         engine = args.engine or sharded_default
         for d in dev_counts:
             emit(run_one(engine, args.weak * d, args.steps, devices=d,
                          repeats=args.repeats, config_kw=config_kw,
-                         impl=args.impl))
+                         impl=args.impl, chunk_steps=args.chunk_steps))
     else:
         engine = args.engine or ("pallas3d" if args.ndim == 3 else "pallas")
         if args.sizes:
@@ -175,7 +183,7 @@ def main(argv=None) -> int:
             sizes = [1000 * 4**k for k in range(6)]
         for n in sizes:
             emit(run_one(engine, n, args.steps, repeats=args.repeats,
-                         config_kw=config_kw))
+                         config_kw=config_kw, chunk_steps=args.chunk_steps))
 
     return 0
 

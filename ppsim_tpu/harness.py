@@ -95,22 +95,48 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
-                      repeats: int = 3):
+                      repeats: int = 3, chunk_steps: int = None):
     """AOT-compile the run program once, then execute the timed region
     ``repeats`` times under the reference's timing contract: engine setup
     (init_carry, the init_simulation analog) + all steps inside the timer;
     compilation and particle init outside it (part1/main.cpp:118-143 — the
     C++ builds are AOT-compiled too).
 
+    ``chunk_steps``: execute the run as ``nsteps / chunk_steps`` invocations
+    of ONE compiled chunk program instead of a single monolithic program
+    (must divide ``nsteps``; unsaved runs only). Invocations dispatch
+    asynchronously back-to-back — the device never drains between chunks and
+    only the final fence synchronizes, so the timing contract is unchanged.
+    This exists because the relayed TPU's worker intermittently dies under
+    single executions running ~a minute or more (observed repeatedly at
+    n=16.8M in 3D, ~60-90 s/run; never at <=25 s/run): shorter executions
+    survive relay timeslicing.
+
     Returns ``(RunResult, [seconds, ...])``. Repeats exist because a relayed
     TPU shares the wire with other tenants: single-shot timings vary several-
     fold under contention, so benchmarks report best-of-N plus the spread.
     """
+    if chunk_steps:
+        if savefreq > 0:
+            raise ValueError("chunk_steps supports unsaved runs only")
+        if nsteps % chunk_steps:
+            raise ValueError(
+                f"chunk_steps={chunk_steps} must divide nsteps={nsteps}")
+        K = getattr(engine, "rebin_every", 1)
+        if chunk_steps % K:
+            # A chunk ends with nsteps%K plain remainder steps, shifting the
+            # rebin phase vs the monolithic program; keep them identical.
+            raise ValueError(
+                f"chunk_steps={chunk_steps} must be a multiple of the "
+                f"engine's rebin cadence {K}")
+        n_chunks = nsteps // chunk_steps
+    else:
+        n_chunks, chunk_steps = 1, nsteps
     # H2D transfer happens ONCE, before the timer — the same boundary as the
     # reference's cudaMemcpy before start_time (part3/main.cu:120-125).
     state = jax.device_put(state)
     warm_carry = engine.init_carry(state)
-    program = engine._program(nsteps, savefreq)
+    program = engine._program(chunk_steps, savefreq)
     compiled = program.lower(warm_carry).compile()
     # Warm EVERY op the timed region will run, including the scalar sync
     # probe: even an eager ``pos[0]`` slice triggers a fresh (remote) compile
@@ -123,7 +149,8 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
     for _ in range(max(1, repeats)):
         t0 = time.perf_counter()
         carry = engine.init_carry(state)
-        carry, frames = compiled(carry)
+        for _c in range(n_chunks):
+            carry, frames = compiled(carry)
         final = engine.final_state_jit(carry)
         # Real sync: fetch one scalar through the device->host path
         # (block_until_ready is not a reliable fence on relayed platforms).

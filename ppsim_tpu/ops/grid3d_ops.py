@@ -143,12 +143,15 @@ class Geometry3S:
             # 1/bs_axis. Measured on TPU at n=1M (snapped 43x48x128 grid,
             # bsz = b0/2): capacity 10 chronically defers ~75 movers/step
             # and eventually drops far-drifters; capacity 12 cuts deferrals
-            # 40x and drops to zero. Compensate ~2 slots per halving of the
-            # thinnest axis; the candidate then pays for the extra slot
-            # planes in cost() below, so thin-axis snaps only win when the
-            # lane savings exceed the capacity tax.
+            # 40x and drops to zero. At n=16.8M even a mild ratio of 1.18
+            # dropped 3 particles with zero headroom, so any anisotropy
+            # earns at least one slot (ceil). The admission gate above
+            # (bs >= cutoff + 2*vmax*dt) bounds the ratio near 2, so the
+            # headroom is clamped at 2. The candidate pays for the extra
+            # slot planes in cost() below, so thin-axis snaps only win
+            # when the lane savings exceed the capacity tax.
             ratio = b0 / min(c["bsx"], c["bsy"], c["bsz"])
-            extra = max(0, round(2.0 * (ratio - 1.0)))
+            extra = min(2, max(0, math.ceil(2.0 * (ratio - 1.0) - 1e-9)))
             return cls(
                 ys=c["ys"], xs=c["xs"], zs=c["zs"],
                 xs_pad=-(-c["xs"] // sublane) * sublane,

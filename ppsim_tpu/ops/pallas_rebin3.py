@@ -225,10 +225,17 @@ def _chunk_of(total: int, unit: int, width: int, budget: int) -> int:
 
 
 # Above this (X, Z) plane size the fused x+z kernel's VMEM stack outgrows
-# the chip (measured: 168x256 planes at n=16.8M want ~140MB of 128MB);
-# the split path tiles each pass along its dependency-free axis instead,
-# paying one extra state round trip per rebin.
-_FUSE_LIMIT_BYTES = 80 * 1024
+# the chip (measured: 168x256 = 172KB planes at the UNSNAPPED n=16.8M
+# geometry want ~140MB of 128MB; VMEM need scales with plane bytes, so
+# ~112KB planes fit). The split path tiles each pass along its
+# dependency-free axis instead, paying one extra state round trip per
+# rebin. The lane-snapped geometries keep planes at (X_pad, 128) — 98KB
+# at n=16.8M, 106KB at 20.97M — so every benchmark size now runs fused;
+# the split path remains the beyond-VMEM fallback. (It is also suspected
+# of an intermittent TPU-worker fault at 16.8M — three full-run crashes,
+# zero on the fused path — another reason the threshold sits just above
+# the largest single-chip size.)
+_FUSE_LIMIT_BYTES = 112 * 1024
 _CHUNK_BUDGET = 72 * 1024
 
 

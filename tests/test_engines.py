@@ -155,3 +155,22 @@ def test_energy_and_containment_invariants(state_and_config):
     assert pos.min() >= 0.0 and pos.max() <= cfg.size
     # repulsion-only dynamics with dt=5e-4 keeps speeds bounded
     assert np.abs(vel).max() < 10.0
+
+
+def test_chunked_timed_run_matches_monolithic(grid_test_config):
+    """timed_run_repeats(chunk_steps=...) must execute the exact same step
+    sequence as the monolithic program (chunk boundaries preserve the rebin
+    cadence phase), yielding a bit-identical final state."""
+    from ppsim_tpu.harness import timed_run_repeats
+
+    state = init_particles(grid_test_config, seed=42, method="fast")
+    ra, _ = timed_run_repeats(
+        get_engine("grid", grid_test_config), state, 16, 0, repeats=1)
+    rb, _ = timed_run_repeats(
+        get_engine("grid", grid_test_config), state, 16, 0, repeats=1,
+        chunk_steps=8)
+    assert np.array_equal(np.asarray(ra.state.pos), np.asarray(rb.state.pos))
+    assert np.array_equal(np.asarray(ra.state.vel), np.asarray(rb.state.vel))
+    with pytest.raises(ValueError):
+        timed_run_repeats(get_engine("grid", grid_test_config), state, 16, 0,
+                          repeats=1, chunk_steps=6)  # not a cadence multiple
