@@ -290,7 +290,9 @@ def grid3_step_pallas(xl, yl, zl, vx, vy, vz, geom: Geometry3S,
         scratch_shapes=[pltpu.VMEM((cap, Xp, Zp), jnp.float32)] * 6,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            # 127MB (like pallas_rebin3): the LJ body at n=20.97M /
+            # cap 12 wants 111.2MB of scoped stack — 110MB was 1.2MB short.
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=Y * Xp * Zp * cap * cap * 14 * 20,
