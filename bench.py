@@ -41,6 +41,19 @@ def main(argv=None) -> int:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--baseline", type=float, default=P100_PSTEPS_BEST,
                     help="baseline particle-steps/sec to compare against")
+    # Stretch-config axes (same flags as bench/sweep.py): the headline tool
+    # can drive the 3D / Lennard-Jones flagship too, e.g.
+    #   python bench.py --engine pallas3d --ndim 3 --density 7e-6 \
+    #       --grid3-capacity 11 --chunk-steps 100
+    ap.add_argument("--ndim", type=int, default=2)
+    ap.add_argument("--density", type=float, default=None)
+    ap.add_argument("--force-law", default=None, help="repulsive | lj")
+    ap.add_argument("--dt", type=float, default=None)
+    ap.add_argument("--grid3-capacity", type=int, default=None)
+    ap.add_argument("--chunk-steps", type=int, default=None,
+                    help="N async invocations of one compiled chunk program "
+                         "(the relay worker dies under ~minute-long single "
+                         "executions; timing contract unchanged)")
     args = ap.parse_args(argv)
     if args.quick:
         args.n, args.steps = 262_144, 200
@@ -50,11 +63,21 @@ def main(argv=None) -> int:
     from ppsim_tpu.harness import timed_run_repeats
     from ppsim_tpu.initlib import init_particles
 
-    config = SimConfig(num_parts=args.n)
+    kw = {k: v for k, v in (("density", args.density),
+                            ("force_law", args.force_law),
+                            ("dt", args.dt),
+                            ("grid3_capacity", args.grid3_capacity))
+          if v is not None}
+    if args.ndim != 2:
+        kw["ndim"] = args.ndim
+        if args.engine == "pallas":
+            args.engine = "pallas3d"
+    config = SimConfig(num_parts=args.n, **kw)
     state = init_particles(config, seed=42, method="fast")
     engine = get_engine(args.engine, config)
     result, times = timed_run_repeats(engine, state, args.steps, 0,
-                                      repeats=args.repeats)
+                                      repeats=args.repeats,
+                                      chunk_steps=args.chunk_steps)
     engine.check(result)  # raises if any safety monitor tripped
 
     best = min(times)
