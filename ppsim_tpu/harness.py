@@ -124,7 +124,7 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
                 f"chunk_steps={chunk_steps} must divide nsteps={nsteps}")
         K = getattr(engine, "rebin_every", 1)
         if chunk_steps % K:
-            # A chunk ends with nsteps%K plain remainder steps, shifting the
+            # A chunk ends with chunk_steps%K plain remainder steps, shifting the
             # rebin phase vs the monolithic program; keep them identical.
             raise ValueError(
                 f"chunk_steps={chunk_steps} must be a multiple of the "
