@@ -119,3 +119,42 @@ def test_cli_engine_selection(tmp_path):
 def test_cli_rejects_unknown_engine():
     with pytest.raises(ValueError):
         main(["-n", "100", "--steps", "5", "--engine", "nope"])
+
+
+def test_bench_retries_transient_tpu_failure(monkeypatch):
+    """bench.py relaunches itself in a fresh process on the relay's known
+    transient failure class (the crashed worker poisons in-process JAX
+    state, so recovery must be a new process), and only on that class."""
+    import subprocess
+    import time
+
+    import bench
+
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    calls = []
+    monkeypatch.setattr(
+        subprocess, "run",
+        lambda cmd, **kw: calls.append(cmd) or type("R", (), {"returncode": 7})(),
+    )
+
+    def boom(args):
+        raise RuntimeError(
+            "UNAVAILABLE: TPU worker process crashed or restarted.")
+
+    monkeypatch.setattr(bench, "_measure", boom)
+    rc = bench.main(["--quick", "--retries", "2"])
+    assert rc == 7 and len(calls) == 1
+    assert calls[0][-1] == "--retries=1" and "--retries" not in calls[0][:-1]
+    assert "--quick" in calls[0]
+
+    # retries exhausted -> raise
+    with pytest.raises(RuntimeError):
+        bench.main(["--quick", "--retries", "0"])
+
+    # non-transient errors are never retried
+    monkeypatch.setattr(
+        bench, "_measure",
+        lambda args: (_ for _ in ()).throw(ValueError("bad config")))
+    with pytest.raises(ValueError):
+        bench.main(["--quick", "--retries", "2"])
+    assert len(calls) == 1
