@@ -189,4 +189,125 @@ void ppsim_run_cells(double* x, double* y, double* vx, double* vy, int64_t n,
     }
 }
 
+// Interacting-pair distance statistics of ONE saved frame (the checker's
+// inner loop). The trajectory checker mirrors the CS267 course tool's
+// absmin/absavg gate (SURVEY.md §4; the reference exposes it through the
+// `-o -s 42` save path, part1/job-serial:9-16); this native pass exists so
+// multi-million-particle 3D frames can be checker-gated in seconds on the
+// one-core host instead of hours in numpy. Counts each unordered pair once
+// (same-cell triangle + half stencil); absmin/absavg are invariant to the
+// single/double counting choice. `pos` is the (n, dim) C-order frame;
+// out = {dmin (1e30 if no pair), dsum, dcount}.
+void ppsim_frame_stats(const double* pos, int64_t n, int dim, double cutoff,
+                       double* out) {
+    double dmin = 1e30, dsum = 0.0;
+    int64_t dcount = 0;
+    if (n > 0 && (dim == 2 || dim == 3)) {
+        double side = 1e-9;
+        for (int64_t i = 0; i < n * dim; ++i)
+            side = std::fmax(side, pos[i]);
+        // Cell side >= cutoff keeps all sub-cutoff pairs inside the 3^dim
+        // stencil; doubling it caps the dense cell table (memory guard for
+        // corrupted/exploded frames with huge coordinates).
+        double cell = cutoff;
+        auto ncells_for = [&](double c) {
+            const double per = std::ceil(side / c);
+            double total = 1;
+            for (int d = 0; d < dim; ++d)
+                total *= per;
+            return total;
+        };
+        while (ncells_for(cell) > 2.7e8)
+            cell *= 2.0;
+        const int64_t side_c = std::max<int64_t>(1, (int64_t)std::ceil(side / cell));
+        const double inv_cell = 1.0 / cell;
+        auto clampi = [&](int64_t v) {
+            return v < 0 ? 0 : (v >= side_c ? side_c - 1 : v);
+        };
+
+        int64_t ncells = 1;
+        for (int d = 0; d < dim; ++d)
+            ncells *= side_c;
+        std::vector<int64_t> cell_of(n), counts(ncells + 1, 0), order(n);
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t c = 0;
+            for (int d = 0; d < dim; ++d)
+                c = c * side_c + clampi((int64_t)(pos[i * dim + d] * inv_cell));
+            cell_of[i] = c;
+            counts[c + 1]++;
+        }
+        for (int64_t c = 1; c <= ncells; ++c)
+            counts[c] += counts[c - 1];
+        std::vector<int64_t> fill(counts.begin(), counts.end() - 1);
+        for (int64_t i = 0; i < n; ++i)
+            order[fill[cell_of[i]]++] = i;
+        // Gather positions into cell order once: the pair loops then stream
+        // contiguous memory instead of cache-missing through `order` (~2x
+        // on 20M-particle frames).
+        std::vector<double> spos(n * dim);
+        for (int64_t r = 0; r < n; ++r)
+            for (int d = 0; d < dim; ++d)
+                spos[r * dim + d] = pos[order[r] * dim + d];
+
+        const double c2 = cutoff * cutoff;
+        auto pair = [&](int64_t i, int64_t j) {
+            double r2 = 0;
+            for (int d = 0; d < dim; ++d) {
+                const double dd = spos[i * dim + d] - spos[j * dim + d];
+                r2 += dd * dd;
+            }
+            if (r2 < c2) {
+                const double r = std::sqrt(r2);
+                dmin = std::fmin(dmin, r);
+                dsum += r;
+                dcount++;
+            }
+        };
+        // Lexicographically-positive half stencils (each unordered cell
+        // pair visited once).
+        static const int HALF2[4][3] = {{0, 1, 0}, {1, -1, 0}, {1, 0, 0}, {1, 1, 0}};
+        static const int HALF3[13][3] = {
+            {0, 0, 1}, {0, 1, -1}, {0, 1, 0}, {0, 1, 1},
+            {1, -1, -1}, {1, -1, 0}, {1, -1, 1}, {1, 0, -1}, {1, 0, 0},
+            {1, 0, 1}, {1, 1, -1}, {1, 1, 0}, {1, 1, 1}};
+        const int(*half)[3] = dim == 2 ? HALF2 : HALF3;
+        const int nhalf = dim == 2 ? 4 : 13;
+
+        for (int64_t c = 0; c < ncells; ++c) {
+            const int64_t b = counts[c], e = counts[c + 1];
+            if (b == e)
+                continue;
+            for (int64_t a = b; a < e; ++a)  // same-cell triangle
+                for (int64_t bb = a + 1; bb < e; ++bb)
+                    pair(a, bb);
+            int64_t idx[3];
+            int64_t rem = c;
+            for (int d = dim - 1; d >= 0; --d) {
+                idx[d] = rem % side_c;
+                rem /= side_c;
+            }
+            for (int o = 0; o < nhalf; ++o) {
+                int64_t nc = 0;
+                bool ok = true;
+                for (int d = 0; d < dim; ++d) {
+                    const int64_t v = idx[d] + half[o][d];
+                    if (v < 0 || v >= side_c) {
+                        ok = false;
+                        break;
+                    }
+                    nc = nc * side_c + v;
+                }
+                if (!ok)
+                    continue;
+                for (int64_t a = b; a < e; ++a)
+                    for (int64_t bb = counts[nc]; bb < counts[nc + 1]; ++bb)
+                        pair(a, bb);
+            }
+        }
+    }
+    out[0] = dmin;
+    out[1] = dsum;
+    out[2] = (double)dcount;
+}
+
 }  // extern "C"

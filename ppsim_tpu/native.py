@@ -22,7 +22,7 @@ import numpy as np
 
 from ppsim_tpu.config import SimConfig
 
-__all__ = ["load", "available", "native_init", "native_run"]
+__all__ = ["load", "available", "native_init", "native_run", "native_frame_stats"]
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_ROOT, "native", "ppsim_native.cpp")
@@ -39,15 +39,24 @@ _D = ctypes.POINTER(ctypes.c_double)
 
 def _build() -> Optional[str]:
     out = _LIB_CANDIDATES[1]
+    tmp = out + f".tmp{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", out],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        # Atomic replace = fresh inode: dlopen caches by (dev, ino), so an
+        # in-place overwrite of an already-loaded library would hand back
+        # the stale handle (or stale mapped pages) on re-load.
+        os.replace(tmp, out)
         return out
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -56,16 +65,36 @@ def load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _load_failed:
         return _lib
     path = next((p for p in _LIB_CANDIDATES if os.path.exists(p)), None)
+    if path is not None and os.path.getmtime(path) < os.path.getmtime(_SRC):
+        path = _build() or path  # stale prebuilt: refresh before first dlopen
     if path is None:
         path = _build()
     if path is None:
         _load_failed = True
         return None
     lib = ctypes.CDLL(path)
+    if not hasattr(lib, "ppsim_frame_stats"):
+        # Library predates the checker kernel and the mtime heuristic missed
+        # it. Rebuild and load under a UNIQUE pathname: glibc's dlopen caches
+        # handles by name, so re-opening the just-replaced canonical path
+        # would hand back the stale mapping.
+        built = _build()
+        if built is None:
+            _load_failed = True
+            return None
+        uniq = built + f".load{os.getpid()}"
+        import shutil
+
+        shutil.copy2(built, uniq)
+        try:
+            lib = ctypes.CDLL(uniq)
+        finally:
+            os.remove(uniq)  # the mapping outlives the unlinked file
     i64, f64, i32 = ctypes.c_int64, ctypes.c_double, ctypes.c_int
     lib.ppsim_init_particles.argtypes = [_D, _D, _D, _D, i64, f64, i32]
     lib.ppsim_run_oracle.argtypes = [_D, _D, _D, _D, i64, f64, i64, f64, f64, f64, f64]
     lib.ppsim_run_cells.argtypes = lib.ppsim_run_oracle.argtypes
+    lib.ppsim_frame_stats.argtypes = [_D, i64, i32, f64, _D]
     _lib = lib
     return _lib
 
@@ -93,6 +122,22 @@ def native_init(num_parts: int, size: float, seed: int):
     lib.ppsim_init_particles(_ptr(x), _ptr(y), _ptr(vx), _ptr(vy),
                              num_parts, size, seed)
     return np.stack([x, y], -1), np.stack([vx, vy], -1)
+
+
+def native_frame_stats(pos: np.ndarray, cutoff: float):
+    """(dmin, dsum, dcount) of sub-cutoff pair distances in one (N, dim)
+    frame via the native cell-list pass (each unordered pair counted once).
+    Returns None when the native library is unavailable (callers fall back
+    to the numpy path)."""
+    lib = load()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, dtype=np.float64)
+    n, dim = pos.shape
+    out = np.empty(3, np.float64)
+    lib.ppsim_frame_stats(_ptr(pos), n, dim, cutoff, _ptr(out))
+    dmin = float(out[0]) if out[0] < 1e29 else float("inf")
+    return dmin, float(out[1]), int(out[2])
 
 
 def native_run(pos, vel, config: SimConfig, nsteps: int, engine: str = "cells"):

@@ -58,3 +58,55 @@ def test_jax_binned_tracks_native_f64_groundtruth():
     nat_stats = check_frames(np.asarray(frames), cfg)
     assert nat_stats.passed
     assert abs(jax_stats.absavg - nat_stats.absavg) < 0.1 * cfg.cutoff
+
+
+def test_native_frame_stats_matches_numpy_checker_paths():
+    """The native checker kernel must agree with BOTH independent numpy
+    cell-list passes (2D double-counts pairs, 3D and native count each
+    unordered pair once — absmin/absavg are invariant to that choice)."""
+    from ppsim_tpu.checker import _cell_list_stats, _cell_list_stats3
+    from ppsim_tpu.native import native_frame_stats
+
+    rng = np.random.default_rng(7)
+    n = 30_000
+    pos2 = rng.uniform(0, np.sqrt(0.0005 * n), (n, 2))
+    nat = native_frame_stats(pos2, 0.01)
+    ref = _cell_list_stats(pos2, 0.01)
+    assert nat is not None
+    assert nat[0] == ref[0]
+    assert nat[2] * 2 == ref[2]
+    np.testing.assert_allclose(nat[1] * 2, ref[1], rtol=1e-12)
+
+    pos3 = rng.uniform(0, (7e-6 * n) ** (1 / 3), (n, 3))
+    nat3 = native_frame_stats(pos3, 0.01)
+    ref3 = _cell_list_stats3(pos3, 0.01)
+    assert nat3[0] == ref3[0] and nat3[2] == ref3[2]
+    np.testing.assert_allclose(nat3[1], ref3[1], rtol=1e-12)
+
+
+def test_native_frame_stats_edge_cases():
+    from ppsim_tpu.native import native_frame_stats
+
+    rng = np.random.default_rng(8)
+    # duplicated particles (scatter-bug signature) drive absmin to 0
+    p = rng.uniform(0, 1.5, (4200, 2))
+    dup = np.repeat(np.concatenate([p, p[:3]], axis=0), 5, 0)[:21_000]
+    assert native_frame_stats(dup, 0.01)[0] == 0.0
+    # no interacting pairs -> (inf, 0, 0)
+    far = np.arange(30_000, dtype=np.float64)[:, None] * np.ones((1, 2))
+    assert native_frame_stats(far, 0.01) == (float("inf"), 0.0, 0)
+
+
+def test_check_frames_uses_native_and_numpy_identically():
+    """check_frames must produce the same verdict and statistics whether the
+    large-frame path runs native or numpy (use_native toggle)."""
+    from ppsim_tpu.checker import frame_distance_stats
+
+    rng = np.random.default_rng(9)
+    n = 25_000
+    pos = rng.uniform(0, np.sqrt(0.0005 * n), (n, 2))
+    m_nat, s_nat, c_nat = frame_distance_stats(pos, 0.01, use_native=True)
+    m_np, s_np, c_np = frame_distance_stats(pos, 0.01, use_native=False)
+    assert m_nat == m_np
+    # counting convention differs (single vs double); the averages must match
+    np.testing.assert_allclose(s_nat / c_nat, s_np / c_np, rtol=1e-12)
