@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a full-state checkpoint (.npz) after the run")
     p.add_argument("--resume", type=str, default=None,
                    help="resume from a checkpoint instead of initializing")
+    p.add_argument("--chunk-steps", type=int, default=None,
+                   help="execute the run as nsteps/chunk-steps invocations of "
+                        "one compiled chunk program (relayed TPU workers die "
+                        "under ~minute-long single executions); must divide "
+                        "--steps and align with the save/rebin cadences")
     p.add_argument("--metrics", type=str, default=None, help="append a JSONL metrics record")
     p.add_argument("--trace", type=str, default=None,
                    help="write a jax.profiler trace (TensorBoard format) to this dir")
@@ -104,31 +109,36 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
 
     ``chunk_steps``: execute the run as ``nsteps / chunk_steps`` invocations
     of ONE compiled chunk program instead of a single monolithic program
-    (must divide ``nsteps``; unsaved runs only). Invocations dispatch
-    asynchronously back-to-back — the device never drains between chunks and
-    only the final fence synchronizes, so the timing contract is unchanged.
-    This exists because the relayed TPU's worker intermittently dies under
-    single executions running ~a minute or more (observed repeatedly at
-    n=16.8M in 3D, ~60-90 s/run; never at <=25 s/run): shorter executions
-    survive relay timeslicing.
+    (must divide ``nsteps``). Unsaved chunks dispatch asynchronously
+    back-to-back — the device never drains between chunks and only the final
+    fence synchronizes, so the timing contract is unchanged. Saved chunks
+    (savefreq > 0) additionally pull each chunk's frames to the host between
+    invocations — a synchronous drain, but one the reference's own ``-o``
+    runs pay too (saves happen inside its timed loop, part1/main.cpp:
+    132-137); benchmark rows stay unsaved. This exists because the relayed
+    TPU's worker intermittently dies under single executions running ~a
+    minute or more (observed repeatedly at n=16.8M in 3D, ~60-90 s/run;
+    never at <=25 s/run): shorter executions survive relay timeslicing.
 
     Returns ``(RunResult, [seconds, ...])``. Repeats exist because a relayed
     TPU shares the wire with other tenants: single-shot timings vary several-
     fold under contention, so benchmarks report best-of-N plus the spread.
     """
     if chunk_steps:
-        if savefreq > 0:
-            raise ValueError("chunk_steps supports unsaved runs only")
         if nsteps % chunk_steps:
             raise ValueError(
                 f"chunk_steps={chunk_steps} must divide nsteps={nsteps}")
-        K = getattr(engine, "rebin_every", 1)
-        if chunk_steps % K:
-            # A chunk ends with chunk_steps%K plain remainder steps, shifting the
-            # rebin phase vs the monolithic program; keep them identical.
+        # A chunk must end phase-aligned: its length has to be a multiple of
+        # every cadence the program folds in (rebin for unsaved runs; the
+        # engine's save quantum — lcm of savefreq and rebin — for saved
+        # ones), or chunked and monolithic runs would diverge.
+        quantum = (engine._chunk_quantum(savefreq) if savefreq > 0
+                   else getattr(engine, "rebin_every", 1))
+        if chunk_steps % quantum:
             raise ValueError(
                 f"chunk_steps={chunk_steps} must be a multiple of the "
-                f"engine's rebin cadence {K}")
+                f"engine's cadence quantum {quantum} "
+                f"(savefreq={savefreq})")
         n_chunks = nsteps // chunk_steps
     else:
         n_chunks, chunk_steps = 1, nsteps
@@ -149,8 +159,13 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
     for _ in range(max(1, repeats)):
         t0 = time.perf_counter()
         carry = engine.init_carry(state)
+        frames_parts = []
         for _c in range(n_chunks):
             carry, frames = compiled(carry)
+            if savefreq > 0 and n_chunks > 1 and frames is not None:
+                # Stream each chunk's frames off the device (bounds HBM frame
+                # storage and keeps executions short; see docstring).
+                frames_parts.append(np.asarray(frames))
         final = engine.final_state_jit(carry)
         # Real sync: fetch one scalar through the device->host path
         # (block_until_ready is not a reliable fence on relayed platforms).
@@ -158,16 +173,21 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
         times.append(time.perf_counter() - t0)
 
     monitors = jax.tree.map(np.asarray, engine.monitors_of(carry))
-    frames_np = np.asarray(frames) if frames is not None else None
+    if frames_parts:
+        frames_np = np.concatenate(frames_parts)
+    else:
+        frames_np = np.asarray(frames) if frames is not None else None
     from ppsim_tpu.engines.base import RunResult
 
     return RunResult(final, frames_np, monitors), times
 
 
-def timed_run(engine, state: ParticleState, nsteps: int, savefreq: int):
+def timed_run(engine, state: ParticleState, nsteps: int, savefreq: int,
+              chunk_steps: int = None):
     """Single-shot :func:`timed_run_repeats` (CLI path: the reference times
     exactly one run, part1/main.cpp:118-143)."""
-    result, times = timed_run_repeats(engine, state, nsteps, savefreq, repeats=1)
+    result, times = timed_run_repeats(engine, state, nsteps, savefreq,
+                                      repeats=1, chunk_steps=chunk_steps)
     return result, times[0]
 
 
@@ -246,9 +266,11 @@ def main(argv=None) -> int:
 
     if args.trace:
         with jax.profiler.trace(args.trace):
-            result, seconds = timed_run(engine, state, nsteps, effective_savefreq)
+            result, seconds = timed_run(engine, state, nsteps, effective_savefreq,
+                                        chunk_steps=args.chunk_steps)
     else:
-        result, seconds = timed_run(engine, state, nsteps, effective_savefreq)
+        result, seconds = timed_run(engine, state, nsteps, effective_savefreq,
+                                    chunk_steps=args.chunk_steps)
 
     engine.check(result)
 

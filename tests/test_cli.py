@@ -158,3 +158,27 @@ def test_bench_retries_transient_tpu_failure(monkeypatch):
     with pytest.raises(ValueError):
         bench.main(["--quick", "--retries", "2"])
     assert len(calls) == 1
+
+
+def test_timed_run_chunked_saved_matches_monolithic(grid_test_config):
+    """A chunked SAVED run (frames streamed to host between chunk
+    invocations) must be bit-identical to the monolithic program — same
+    frames, same final state — and reject cadence-misaligned chunks."""
+    from ppsim_tpu.engines import get_engine
+    from ppsim_tpu.harness import timed_run_repeats
+    from ppsim_tpu.initlib import init_particles
+
+    cfg = grid_test_config  # rebin_every=4
+    state = init_particles(cfg, seed=42)
+    savefreq = 2  # quantum = lcm(2, 4) = 4
+    mono, _ = timed_run_repeats(get_engine("grid", cfg), state, 16, savefreq,
+                                repeats=1)
+    chunked, _ = timed_run_repeats(get_engine("grid", cfg), state, 16, savefreq,
+                                   repeats=1, chunk_steps=8)
+    np.testing.assert_array_equal(mono.frames, chunked.frames)
+    np.testing.assert_array_equal(np.asarray(mono.state.pos),
+                                  np.asarray(chunked.state.pos))
+
+    with pytest.raises(ValueError, match="cadence quantum"):
+        timed_run_repeats(get_engine("grid", cfg), state, 12, savefreq,
+                          repeats=1, chunk_steps=6)  # not a multiple of 4
