@@ -283,12 +283,18 @@ def main(argv=None) -> int:
     print(f"Simulation Time = {seconds:g} seconds for {args.n} particles.")
 
     check_ok = True
+    check_rec = {}
     if args.check:
         from ppsim_tpu.checker import check_frames
 
         cres = check_frames(result.frames, config)
         print(f"Correctness check: {cres}")
         check_ok = cres.passed
+        check_rec = {
+            "check_passed": bool(cres.passed),
+            "check_absmin": float(cres.absmin),
+            "check_absavg": float(cres.absavg),
+        }
 
     MetricsWriter(args.metrics).emit(
         {
@@ -297,6 +303,12 @@ def main(argv=None) -> int:
             "nsteps": nsteps,
             "seed": args.s,
             "dtype": args.dtype,
+            "ndim": config.ndim,
+            "density": config.density,
+            "force_law": config.force_law,
+            "dt": config.dt,
+            "savefreq": effective_savefreq,
+            "chunk_steps": args.chunk_steps,
             "seconds": seconds,
             "particle_steps_per_sec": args.n * nsteps / seconds,
             "timing_contract": "includes engine init + steps; excludes jit compile and particle init",
@@ -304,6 +316,7 @@ def main(argv=None) -> int:
             "migrate_dropped": int(result.monitors.migrate_dropped),
             "platform": jax.devices()[0].platform,
             "num_devices": len(jax.devices()),
+            **check_rec,
         }
     )
     return 0 if check_ok else 1
