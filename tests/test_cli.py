@@ -182,3 +182,18 @@ def test_timed_run_chunked_saved_matches_monolithic(grid_test_config):
     with pytest.raises(ValueError, match="cadence quantum"):
         timed_run_repeats(get_engine("grid", cfg), state, 12, savefreq,
                           repeats=1, chunk_steps=6)  # not a multiple of 4
+
+
+def test_readme_lists_every_registered_engine():
+    """README's engine table must track the registry (docs drifted when
+    engines were added in rounds 1 AND 2; help text is already pinned by
+    test_cli_help_lists_every_registered_engine — this pins the README)."""
+    import os
+
+    from ppsim_tpu.engines import engine_names
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "README.md")) as f:
+        readme = f.read()
+    for name in engine_names():
+        assert f"`{name}`" in readme, f"{name} missing from README"
