@@ -279,11 +279,13 @@ class PallasGridEngine(GridEngine):
         from ppsim_tpu.ops.pallas_grid import grid_step_pallas
 
         cfg = self.config
-        xl, yl, vx, vy = grid_step_pallas(
+        xl, yl, vx, vy, speed2 = grid_step_pallas(
             slab.xl, slab.yl, slab.vx, slab.vy, self.geom,
             cfg.cutoff, cfg.min_r, cfg.mass, cfg.dt, cfg.size,
             interpret=self.interpret,
             law=cfg.force_law, law_params=cfg.law_params,
         )
-        max_speed = jnp.sqrt((vx * vx + vy * vy).max())
+        # max over the kernel-emitted per-bin |v|^2 plane (order-free, so
+        # bit-identical to the XLA twin's reduction over the full slabs)
+        max_speed = jnp.sqrt(speed2.max())
         return SlabState(xl, yl, vx, vy, slab.pid), max_speed

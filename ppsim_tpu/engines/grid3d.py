@@ -149,13 +149,13 @@ class Pallas3DEngine(Grid3DEngine):
         from ppsim_tpu.ops.pallas_grid3d import grid3_step_pallas
 
         cfg = self.config
-        xl, yl, zl, vx, vy, vz = grid3_step_pallas(
+        xl, yl, zl, vx, vy, vz, speed2 = grid3_step_pallas(
             slab.xl, slab.yl, slab.zl, slab.vx, slab.vy, slab.vz, self.geom,
             cfg.cutoff, cfg.min_r, cfg.mass, cfg.dt, cfg.size,
             interpret=self.interpret,
             law=cfg.force_law, law_params=cfg.law_params,
         )
-        max_speed = jnp.sqrt((vx * vx + vy * vy + vz * vz).max())
+        max_speed = jnp.sqrt(speed2.max())
         return Slab3State(xl, yl, zl, vx, vy, vz, slab.pid), max_speed
 
     def rebin_of(self, slab):

@@ -139,16 +139,14 @@ class ShardedGrid3DEngine(Grid3DEngine):
         for f, fill in ((xl, BIG), (yl, BIG), (zl, BIG)):
             ghosts.append(self._halo(f, fill, 1))
         (tx, bx), (ty, by), (tz, bz) = ghosts
-        nxl, nyl, nzl, nvx, nvy, nvz = grid3_step_pallas(
+        nxl, nyl, nzl, nvx, nvy, nvz, speed2 = grid3_step_pallas(
             xl, yl, zl, vx, vy, vz, self.geom,
             cfg.cutoff, cfg.min_r, cfg.mass, cfg.dt, cfg.size,
             interpret=self.interpret, y0=y0,
             ghosts=(tx, ty, tz, bx, by, bz),
             law=cfg.force_law, law_params=cfg.law_params,
         )
-        max_speed = jax.lax.pmax(
-            jnp.sqrt((nvx * nvx + nvy * nvy + nvz * nvz).max()), "x"
-        )
+        max_speed = jax.lax.pmax(jnp.sqrt(speed2.max()), "x")
         return nxl, nyl, nzl, nvx, nvy, nvz, max_speed
 
     def _local_plain_xla(self, xl, yl, zl, vx, vy, vz, pid):

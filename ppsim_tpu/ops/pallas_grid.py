@@ -251,10 +251,16 @@ def grid_force_pallas(xl, yl, geom: SlabGeometry, cutoff, min_r, mass,
 
 
 def _move_tail(x_ref, y_ref, vx_ref, vy_ref, ax_ref, ay_ref,
-               xo_ref, yo_ref, vxo_ref, vyo_ref,
+               xo_ref, yo_ref, vxo_ref, vyo_ref, spo_ref,
                *, cap, dtf, L, row_off, col_off):
     """Verlet + wall reflection on the accumulated accelerations (shared by
-    both step-kernel variants; reference: serial.cpp:44-61)."""
+    both step-kernel variants; reference: serial.cpp:44-61).
+
+    ``spo_ref`` receives the per-bin max of |v|^2 over slots — the
+    ``max_speed`` stale-slack monitor's input, folded in here because the
+    velocities are already in VMEM (an XLA reduction over the kernel's
+    outputs would re-read 2 x cap planes from HBM every step)."""
+    sp = jnp.zeros(x_ref.shape[1:], jnp.float32)
     for s in range(cap):
         alive = x_ref[s] < jnp.float32(0.5 * BIG)
         vx = jnp.where(alive, vx_ref[s] + ax_ref[s] * dtf, 0.0)
@@ -278,11 +284,15 @@ def _move_tail(x_ref, y_ref, vx_ref, vy_ref, ax_ref, ay_ref,
         yo_ref[s] = jnp.where(alive, yl, BIG)
         vxo_ref[s] = vx
         vyo_ref[s] = vy
+        # dead slots hold vx = vy = 0, matching grid_ops.grid_move's
+        # alive-masked speed2 exactly
+        sp = jnp.maximum(sp, vx * vx + vy * vy)
+    spo_ref[...] = sp
 
 
 def _step_kernel_asym(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
                       vx_ref, vy_ref, grow_ref,
-                      xo_ref, yo_ref, vxo_ref, vyo_ref,
+                      xo_ref, yo_ref, vxo_ref, vyo_ref, spo_ref,
                       ax_ref, ay_ref,
                       *, cap, cols, br, geom: SlabGeometry,
                       cutoff, min_r, mass, dt, size, law, law_params):
@@ -310,13 +320,13 @@ def _step_kernel_asym(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
                  min_r=min_r, mass=mass, law=law, law_params=law_params,
                  unroll_j=False)
     _move_tail(x_ref, y_ref, vx_ref, vy_ref, ax_ref, ay_ref,
-               xo_ref, yo_ref, vxo_ref, vyo_ref,
+               xo_ref, yo_ref, vxo_ref, vyo_ref, spo_ref,
                cap=cap, dtf=dtf, L=L, row_off=row_off, col_off=col_off)
 
 
 def _step_kernel(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
                  vx_ref, vy_ref, grow_ref,
-                 xo_ref, yo_ref, vxo_ref, vyo_ref,
+                 xo_ref, yo_ref, vxo_ref, vyo_ref, spo_ref,
                  ax_ref, ay_ref, spill_ax_ref, spill_ay_ref,
                  *, cap, cols, br, geom: SlabGeometry,
                  cutoff, min_r, mass, dt, size, law, law_params):
@@ -478,7 +488,7 @@ def _step_kernel(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
         jax.lax.fori_loop(0, cap, ghost_body, 0)
 
     _move_tail(x_ref, y_ref, vx_ref, vy_ref, ax_ref, ay_ref,
-               xo_ref, yo_ref, vxo_ref, vyo_ref,
+               xo_ref, yo_ref, vxo_ref, vyo_ref, spo_ref,
                cap=cap, dtf=dtf, L=L, row_off=row_off, col_off=col_off)
 
 
@@ -492,7 +502,10 @@ def grid_step_pallas(xl, yl, vx, vy, geom: SlabGeometry,
                      row0=None,
                      ghosts: Optional[Tuple] = None,
                      law="repulsive", law_params=(), symmetric=True):
-    """Fused force+move step. Returns (xl', yl', vx', vy').
+    """Fused force+move step. Returns (xl', yl', vx', vy', speed2) where
+    ``speed2`` is an (R, C) plane of per-bin max |v|^2 over slots — reduce
+    with ``jnp.sqrt(speed2.max())`` for the stale-slack monitor (computed
+    in-kernel so the monitor costs no extra HBM pass over the velocities).
 
     ``row0``: traced global row index of this array's first row (sharded
     engine passes ``axis_index * rows_local``; default 0).
@@ -539,8 +552,9 @@ def grid_step_pallas(xl, yl, vx, vy, geom: SlabGeometry,
         kernel,
         grid=(R // br,),
         in_specs=[main, top, bot] * 2 + [spec] * 2 + [gspec],
-        out_specs=[spec] * 4,
-        out_shape=[jax.ShapeDtypeStruct((cap, R, C), jnp.float32)] * 4,
+        out_specs=[spec] * 4 + [gspec],
+        out_shape=[jax.ShapeDtypeStruct((cap, R, C), jnp.float32)] * 4
+        + [jax.ShapeDtypeStruct((R, C), jnp.float32)],
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

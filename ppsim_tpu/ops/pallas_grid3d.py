@@ -42,7 +42,7 @@ __all__ = ["grid3_step_pallas"]
 def _step3_kernel(yoff_ref, x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
                   gx_ref, gy_ref, gz_ref,
                   vx_ref, vy_ref, vz_ref,
-                  xo_ref, yo_ref, zo_ref, vxo_ref, vyo_ref, vzo_ref,
+                  xo_ref, yo_ref, zo_ref, vxo_ref, vyo_ref, vzo_ref, spo_ref,
                   ax_ref, ay_ref, az_ref, sx_ref, sy_ref, sz_ref,
                   *, cap, geom: Geometry3S,
                   cutoff, min_r, mass, dt, size, has_ghosts, law, law_params):
@@ -206,6 +206,7 @@ def _step3_kernel(yoff_ref, x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
     y_off = yoff_ref[i, 0].astype(jnp.float32) * bsy
     z_off = zi.astype(jnp.float32) * bsz
 
+    sp = jnp.zeros(shape, jnp.float32)
     for s in range(cap):
         xl = plane(x_ref, s)
         alive = xl < jnp.float32(0.5 * BIG)
@@ -234,6 +235,10 @@ def _step3_kernel(yoff_ref, x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
         vxo_ref[s, 0] = vx
         vyo_ref[s, 0] = vy
         vzo_ref[s, 0] = vz
+        # max-|v|^2 monitor plane: dead slots hold v = 0, matching
+        # grid3d_ops.grid3_move's alive-masked speed2 exactly
+        sp = jnp.maximum(sp, vx * vx + vy * vy + vz * vz)
+    spo_ref[0] = sp
 
 
 @functools.partial(
@@ -245,7 +250,10 @@ def grid3_step_pallas(xl, yl, zl, vx, vy, vz, geom: Geometry3S,
                       cutoff, min_r, mass, dt, size, interpret=False,
                       y0=None, ghosts=None, law="repulsive", law_params=()):
     """Fused symmetric 3D force+move step. Returns (xl', yl', zl', vx',
-    vy', vz').
+    vy', vz', speed2) where ``speed2`` is a (Y, Xp, Zp) plane of per-bin
+    max |v|^2 over slots (reduce with ``jnp.sqrt(speed2.max())`` — the
+    stale-slack monitor input, emitted in-kernel to avoid an extra HBM
+    pass over the three velocity slabs).
 
     ``y0``: traced global index of this array's first y-slab (sharded
     strips pass ``axis_index * ys_local``; default 0).
@@ -285,8 +293,11 @@ def grid3_step_pallas(xl, yl, zl, vx, vy, vz, geom: Geometry3S,
         kernel,
         grid=(Y,),
         in_specs=[yspec] + [main, nxt] * 3 + [gspec] * 3 + [main] * 3,
-        out_specs=[main] * 6,
-        out_shape=[jax.ShapeDtypeStruct((cap, Y, Xp, Zp), jnp.float32)] * 6,
+        out_specs=[main] * 6
+        + [pl.BlockSpec((1, Xp, Zp), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((cap, Y, Xp, Zp), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((Y, Xp, Zp), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((cap, Xp, Zp), jnp.float32)] * 6,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
