@@ -111,6 +111,9 @@ def main(argv=None) -> int:
     ap.add_argument("--grid-bin-scale", type=float, default=None)
     ap.add_argument("--grid-capacity", type=int, default=None)
     ap.add_argument("--rebin-every", type=int, default=None)
+    ap.add_argument("--grid-rebin-mode", default=None,
+                    choices=("dirs9", "axes"),
+                    help="2D rebin algorithm (A/B axis)")
     # Stretch-config axes (BASELINE.json configs[4] is ndim=3 + lj): every
     # published row must be regenerable from a committed command line
     # (reference discipline: part3/benchmark-gpu:8-12).
@@ -141,6 +144,7 @@ def main(argv=None) -> int:
             ("grid_bin_scale", args.grid_bin_scale),
             ("grid_capacity", args.grid_capacity),
             ("rebin_every", args.rebin_every),
+            ("grid_rebin_mode", args.grid_rebin_mode),
             ("density", args.density),
             ("force_law", args.force_law),
             ("dt", args.dt),

@@ -128,6 +128,12 @@ class SimConfig:
     # Max particles leaving one bin in one direction per rebin; excess
     # defers to the next rebin (monitored).
     evac_capacity: int = 4
+    # 2D rebin algorithm: "dirs9" = the 9-direction dense shuffle;
+    # "axes" = the axis-factorized form (rows pass then cols pass, the 2D
+    # port of the 3D design — 2 directions per pass instead of 8). Both are
+    # loss-free under the same acceptance contract; deferral decisions
+    # differ, so cross-variant trajectories agree to f32 summation order.
+    grid_rebin_mode: str = "dirs9"
 
     # ---- derived geometry ----
     @property
@@ -210,6 +216,10 @@ class SimConfig:
             )
         if self.rebin_every < 1 or self.grid_capacity < 1 or self.evac_capacity < 1:
             raise ValueError("rebin_every / grid_capacity / evac_capacity must be >= 1")
+        if self.grid_rebin_mode not in ("dirs9", "axes"):
+            raise ValueError(
+                f"grid_rebin_mode={self.grid_rebin_mode!r}: must be 'dirs9' or 'axes'"
+            )
         if self.grid3_bin_scale <= 1.0:
             raise ValueError(
                 f"grid3_bin_scale={self.grid3_bin_scale} must exceed 1: the 3D "

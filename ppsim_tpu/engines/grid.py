@@ -75,7 +75,9 @@ class GridEngine(Engine):
         )
 
     def rebin_of(self, slab):
-        return grid_ops.grid_rebin(slab, self.geom, self.config.evac_capacity)
+        fn = (grid_ops.grid_rebin_axes if self.config.grid_rebin_mode == "axes"
+              else grid_ops.grid_rebin)
+        return fn(slab, self.geom, self.config.evac_capacity)
 
     def move_phase(self, slab):
         """Force + integrate; returns (new_slab, max_speed)."""
@@ -268,9 +270,14 @@ class PallasGridEngine(GridEngine):
         )
 
     def rebin_of(self, slab):
-        from ppsim_tpu.ops.pallas_rebin import grid_rebin_pallas
+        from ppsim_tpu.ops.pallas_rebin import (
+            grid_rebin_axes_pallas,
+            grid_rebin_pallas,
+        )
 
-        return grid_rebin_pallas(
+        fn = (grid_rebin_axes_pallas if self.config.grid_rebin_mode == "axes"
+              else grid_rebin_pallas)
+        return fn(
             slab, self.geom, self.config.evac_capacity, interpret=self.interpret
         )
 

@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rebin-every", type=int, default=None,
                    help="grid engines: rebin cadence in steps (default from "
                         "config; routes to the active --ndim family)")
+    p.add_argument("--grid-rebin-mode", default=None, choices=("dirs9", "axes"),
+                   help="2D grid engines: rebin algorithm (dirs9 = 9-direction "
+                        "shuffle, axes = axis-factorized rows+cols passes)")
     p.add_argument("--grid3-bin-scale", type=float, default=None,
                    help="3D grid engines: bin side / cutoff (explicit 3D form)")
     p.add_argument("--grid3-capacity", type=int, default=None,
@@ -219,6 +222,8 @@ def config_from_args(args) -> SimConfig:
         )
         if v is not None
     }
+    if getattr(args, "grid_rebin_mode", None) is not None:
+        grid_kw["grid_rebin_mode"] = args.grid_rebin_mode
     if args.density is not None:
         grid_kw["density"] = args.density
     return SimConfig(

@@ -311,11 +311,302 @@ def grid_rebin_pallas(state: SlabState, geom: SlabGeometry, evac_cap: int,
     lost = before - after
     from ppsim_tpu.ops.grid_ops import slab_dirs
 
-    dirx, diry, far, alive2 = slab_dirs(new, geom)
+    # far movers must be flagged on the PRE-rebin state: the shuffle clamps
+    # to one hop, so a 2-bin drifter (fatal stale-slack violation) looks
+    # like a benign 1-bin mover afterwards (same fix grid3_rebin_axes got
+    # in round 3; the XLA twin grid_rebin always flagged pre).
+    _, _, far0, _ = slab_dirs(state, geom)
+    dirx, diry, _, alive2 = slab_dirs(new, geom)
     deferred = ((alive2 & ((dirx != 0) | (diry != 0))).astype(jnp.int32)).sum()
     occupancy = occupancy_planes.sum(axis=0).max()
     return new, RebinMonitors(
         occupancy.astype(jnp.int32),
-        (lost + far.astype(jnp.int32).sum()).astype(jnp.int32),
+        (lost + far0.astype(jnp.int32).sum()).astype(jnp.int32),
         deferred.astype(jnp.int32),
     )
+
+
+# ------------------------------------------------- axis-factorized variant
+# Count-plane indices emitted by the fused axes kernel (monitor inputs).
+_FAR_PRE, _ALIVE_PRE, _ALIVE_POST, _RESID_POST = 0, 1, 2, 3
+
+
+def _views_range(f, fill, lo: int, hi: int, ghost_top=None, ghost_bot=None):
+    """Row views of ``f`` at offsets lo..hi (like :func:`_views`, but an
+    asymmetric range — the x pass needs xl/pid at -1..+2)."""
+    cap_or_k, R, C = f.shape
+    if ghost_top is None:
+        ghost_top = jnp.full((cap_or_k, -lo, C), fill, f.dtype)
+    if ghost_bot is None:
+        ghost_bot = jnp.full((cap_or_k, hi, C), fill, f.dtype)
+    ext = jnp.concatenate([ghost_top, f, ghost_bot], axis=1)
+    return [ext[:, o : o + R] for o in range(hi - lo + 1)]
+
+
+def _dir1(coord, alive, gi, n_phys: int, inv):
+    """Per-slot 1-D movement direction: one-hop clamp + physical-grid clamp
+    (matches grid_ops.slab_dirs per axis: clamp, then zero dead slots)."""
+    d = jnp.clip(jnp.floor(coord * inv).astype(jnp.int32), -1, 1)
+    d = jnp.clip(d, -jnp.minimum(gi, 1), jnp.minimum(n_phys - 1 - gi, 1))
+    return jnp.where(alive, d, 0)
+
+
+def _axes_kernel(xm, x0, xp, xp2, pm, p0, pp, pp2,
+                 ym, y0, yp, vxm, vx0, vxp, vym, vy0, vyp,
+                 grow_ref,
+                 xo, yo, vxo, vyo, po, cnt_out,
+                 *, cap, evac_cap, geom: SlabGeometry, br):
+    """Fused axis-factorized rebin: rows (x) pass via +-1 row views (counts
+    from up to +2), then the cols (y) pass lane-local on the x-settled
+    planes — ONE HBM round trip for the whole rebin, two directions per
+    pass instead of eight. Decision-for-decision twin of
+    grid_ops.grid_rebin_axes (the XLA form); see grid_ops.grid_rebin's
+    docstring for the loss-free acceptance contract itself.
+
+    Also emits a (4, br, C) count stack [far_pre, alive_pre, alive_post,
+    residual_movers_post] so the monitors (incl. the PRE-rebin far-mover
+    flag, grid3d ADVICE-class fix) cost tiny-plane XLA reductions instead
+    of a full re-read of the slab state.
+    """
+    C = geom.cols_pad
+    inv = jnp.float32(1.0 / geom.bin_size)
+    bs = jnp.float32(geom.bin_size)
+    cap_f = jnp.float32(cap)
+    shape = x0.shape[1:]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    grow0 = grow_ref[...]
+
+    # ---- per-view aliveness and row-direction (x) ----------------------
+    xviews = {-1: (xm, pm, grow0 - 1), 0: (x0, p0, grow0),
+              1: (xp, pp, grow0 + 1), 2: (xp2, pp2, grow0 + 2)}
+    alive_v = {}
+    dirx_v = {}
+    for v, (xv, pv, gv) in xviews.items():
+        alive_v[v] = [pv[s] >= 0 for s in range(cap)]
+        dirx_v[v] = [
+            _dir1(xv[s], alive_v[v][s], gv, geom.rows, inv) for s in range(cap)
+        ]
+
+    def counts_of(v):
+        a = jnp.zeros(shape, jnp.float32)
+        m = jnp.zeros(shape, jnp.float32)
+        for s in range(cap):
+            a = a + jnp.where(alive_v[v][s], 1.0, 0.0)
+            m = m + jnp.where(alive_v[v][s] & (dirx_v[v][s] == -1), 1.0, 0.0)
+        return a, m
+
+    alive0_cnt, _ = counts_of(0)
+    alivem_cnt, _ = counts_of(-1)
+    alivep_cnt, cnt_m_p1 = counts_of(1)
+    _, cnt_m_p2 = counts_of(2)
+
+    # pre-rebin monitor planes: far movers (raw 2-bin drift, either axis)
+    far_pre = jnp.zeros(shape, jnp.float32)
+    for s in range(cap):
+        rawx = jnp.floor(x0[s] * inv).astype(jnp.int32)
+        rawy = jnp.floor(y0[s] * inv).astype(jnp.int32)
+        far = alive_v[0][s] & ((jnp.abs(rawx) > 1) | (jnp.abs(rawy) > 1))
+        far_pre = far_pre + jnp.where(far, 1.0, 0.0)
+    cnt_out[_FAR_PRE] = far_pre
+    cnt_out[_ALIVE_PRE] = alive0_cnt
+
+    # ---- x pass ---------------------------------------------------------
+    F0 = cap_f - alive0_cnt
+    F_at = {-1: cap_f - alivem_cnt, 1: cap_f - alivep_cnt}
+    off_at_dest_of = {-1: jnp.zeros(shape, jnp.float32), 1: cnt_m_p2}
+    off_of = {-1: jnp.zeros(shape, jnp.float32), 1: cnt_m_p1}
+    fviews = {-1: (xm, ym, vxm, vym, pm), 1: (xp, yp, vxp, vyp, pp)}
+
+    out_x = [x0[s] for s in range(cap)]
+    out_y = [y0[s] for s in range(cap)]
+    out_vx = [vx0[s] for s in range(cap)]
+    out_vy = [vy0[s] for s in range(cap)]
+    out_p = [p0[s] for s in range(cap)]
+
+    empty = [p0[s] < 0 for s in range(cap)]
+    empty_rank = []
+    running = jnp.zeros(shape, jnp.float32)
+    for s in range(cap):
+        empty_rank.append(running)
+        running = running + jnp.where(empty[s], 1.0, 0.0)
+
+    for d in (-1, 1):
+        # source side: clear my accepted leavers
+        rank = jnp.zeros(shape, jnp.float32)
+        for s in range(cap):
+            mj = alive_v[0][s] & (dirx_v[0][s] == d)
+            accj = mj & (rank < float(evac_cap)) & (
+                off_at_dest_of[d] + rank < F_at[d]
+            )
+            out_x[s] = jnp.where(accj, BIG, out_x[s])
+            out_y[s] = jnp.where(accj, BIG, out_y[s])
+            out_vx[s] = jnp.where(accj, 0.0, out_vx[s])
+            out_vy[s] = jnp.where(accj, 0.0, out_vy[s])
+            out_p[s] = jnp.where(accj, -1, out_p[s])
+            rank = rank + jnp.where(mj, 1.0, 0.0)
+
+        # destination side: pull group d from the source view at -d (row
+        # views are pre-aligned — no shifts at all in the x pass)
+        sxl, syl, svx, svy, spid = fviews[-d]
+        srank = jnp.zeros(shape, jnp.float32)
+        for s in range(cap):
+            mjs = alive_v[-d][s] & (dirx_v[-d][s] == d)
+            accj = mjs & (srank < float(evac_cap)) & (off_of[d] + srank < F0)
+            idx = off_of[d] + srank
+            xre = sxl[s] - jnp.float32(d) * bs
+            for t in range(cap):
+                sel = accj & empty[t] & (empty_rank[t] == idx)
+                out_x[t] = jnp.where(sel, xre, out_x[t])
+                out_y[t] = jnp.where(sel, syl[s], out_y[t])
+                out_vx[t] = jnp.where(sel, svx[s], out_vx[t])
+                out_vy[t] = jnp.where(sel, svy[s], out_vy[t])
+                out_p[t] = jnp.where(sel, spid[s], out_p[t])
+            srank = srank + jnp.where(mjs, 1.0, 0.0)
+
+    # ---- y pass (lane-local on the x-settled planes) --------------------
+    def lshift(f, dc, fill):
+        return _lane_shift(f, dc, fill, col_iota, C)
+
+    alive_s = [out_p[s] >= 0 for s in range(cap)]
+    diry_s = [
+        _dir1(out_y[s], alive_s[s], col_iota, geom.cols, inv)
+        for s in range(cap)
+    ]
+    alive_cnt = jnp.zeros(shape, jnp.float32)
+    cnt_m = jnp.zeros(shape, jnp.float32)
+    for s in range(cap):
+        alive_cnt = alive_cnt + jnp.where(alive_s[s], 1.0, 0.0)
+        cnt_m = cnt_m + jnp.where(alive_s[s] & (diry_s[s] == -1), 1.0, 0.0)
+    Fy = cap_f - alive_cnt
+    offy_of = {-1: jnp.zeros(shape, jnp.float32), 1: lshift(cnt_m, 1, 0.0)}
+
+    empty2 = [out_p[s] < 0 for s in range(cap)]
+    empty_rank2 = []
+    running = jnp.zeros(shape, jnp.float32)
+    for s in range(cap):
+        empty_rank2.append(running)
+        running = running + jnp.where(empty2[s], 1.0, 0.0)
+
+    # snapshot the x-settled planes: sources must be read pre-y-pass
+    mid_x = list(out_x)
+    mid_y = list(out_y)
+    mid_vx = list(out_vx)
+    mid_vy = list(out_vy)
+    mid_p = list(out_p)
+
+    for d in (-1, 1):
+        off_at_dest = lshift(offy_of[d], d, 0.0)
+        F_at_dest = lshift(Fy, d, 0.0)
+        rank = jnp.zeros(shape, jnp.float32)
+        for s in range(cap):
+            mj = alive_s[s] & (diry_s[s] == d)
+            accj = mj & (rank < float(evac_cap)) & (off_at_dest + rank < F_at_dest)
+            out_x[s] = jnp.where(accj, BIG, out_x[s])
+            out_y[s] = jnp.where(accj, BIG, out_y[s])
+            out_vx[s] = jnp.where(accj, 0.0, out_vx[s])
+            out_vy[s] = jnp.where(accj, 0.0, out_vy[s])
+            out_p[s] = jnp.where(accj, -1, out_p[s])
+            rank = rank + jnp.where(mj, 1.0, 0.0)
+
+        srank = jnp.zeros(shape, jnp.float32)
+        for s in range(cap):
+            spid_s = lshift(mid_p[s], -d, -1)
+            salive = spid_s >= 0
+            syl_s = lshift(mid_y[s], -d, BIG)
+            sgcol = col_iota - d
+            sdy = _dir1(syl_s, salive, sgcol, geom.cols, inv)
+            mjs = salive & (sdy == d)
+            accj = mjs & (srank < float(evac_cap)) & (offy_of[d] + srank < Fy)
+            idx = offy_of[d] + srank
+            sxl_s = lshift(mid_x[s], -d, BIG)
+            svx_s = lshift(mid_vx[s], -d, 0.0)
+            svy_s = lshift(mid_vy[s], -d, 0.0)
+            yre = syl_s - jnp.float32(d) * bs
+            for t in range(cap):
+                sel = accj & empty2[t] & (empty_rank2[t] == idx)
+                out_x[t] = jnp.where(sel, sxl_s, out_x[t])
+                out_y[t] = jnp.where(sel, yre, out_y[t])
+                out_vx[t] = jnp.where(sel, svx_s, out_vx[t])
+                out_vy[t] = jnp.where(sel, svy_s, out_vy[t])
+                out_p[t] = jnp.where(sel, spid_s, out_p[t])
+            srank = srank + jnp.where(mjs, 1.0, 0.0)
+
+    # ---- post-pass monitor planes + field writeback ---------------------
+    alive_post = jnp.zeros(shape, jnp.float32)
+    resid = jnp.zeros(shape, jnp.float32)
+    for s in range(cap):
+        af = out_p[s] >= 0
+        dxf = _dir1(out_x[s], af, grow0, geom.rows, inv)
+        dyf = _dir1(out_y[s], af, col_iota, geom.cols, inv)
+        alive_post = alive_post + jnp.where(af, 1.0, 0.0)
+        resid = resid + jnp.where(af & ((dxf != 0) | (dyf != 0)), 1.0, 0.0)
+    cnt_out[_ALIVE_POST] = alive_post
+    cnt_out[_RESID_POST] = resid
+
+    for s in range(cap):
+        xo[s] = out_x[s]
+        yo[s] = out_y[s]
+        vxo[s] = out_vx[s]
+        vyo[s] = out_vy[s]
+        po[s] = out_p[s]
+
+
+@functools.partial(jax.jit, static_argnames=("geom", "evac_cap", "interpret"))
+def grid_rebin_axes_pallas(state: SlabState, geom: SlabGeometry, evac_cap: int,
+                           interpret: bool = False, row0=None,
+                           field_ghosts=None):
+    """Single-chip axis-factorized rebin: one fused Mosaic kernel (x pass
+    from row views, y pass lane-local) + monitors from the emitted count
+    planes. Bit-matches grid_ops.grid_rebin_axes decision-for-decision.
+
+    ``field_ghosts``: optional per-field ghost rows in (xl, yl, vx, vy,
+    pid) order — xl/pid as (top 1-row, bot 2-row) blocks, yl/vx/vy as
+    (top 1-row, bot 1-row) blocks (the x pass reads fields at -1..+1 and
+    counts at +2) — for the sharded engine's cross-strip exchange.
+    """
+    cap = state.xl.shape[0]
+    R, C = state.xl.shape[1], geom.cols_pad
+    br = _pick_row_block(geom, nplanes=30 * cap + 30, rows=R)
+    base = 0 if row0 is None else row0
+    grow = base + jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+
+    spec = pl.BlockSpec((cap, br, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((br, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((4, br, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+
+    ins = []
+    for fi, (f, fill, lo, hi) in enumerate((
+        (state.xl, BIG, -1, 2), (state.pid, -1, -1, 2),
+    )):
+        gt, gb = (None, None) if field_ghosts is None else field_ghosts[(0, 4)[fi]]
+        ins.extend(_views_range(f, fill, lo, hi, gt, gb))
+    for fi, (f, fill) in enumerate((
+        (state.yl, BIG), (state.vx, 0.0), (state.vy, 0.0),
+    )):
+        gt, gb = (None, None) if field_ghosts is None else field_ghosts[fi + 1]
+        ins.extend(_views_range(f, fill, -1, 1, gt, gb))
+    ins.append(grow)
+
+    out_shapes = [jax.ShapeDtypeStruct((cap, R, C), jnp.float32)] * 4 + [
+        jax.ShapeDtypeStruct((cap, R, C), jnp.int32),
+        jax.ShapeDtypeStruct((4, R, C), jnp.float32),
+    ]
+    xl, yl, vx, vy, pid, cnt = pl.pallas_call(
+        functools.partial(_axes_kernel, cap=cap, evac_cap=evac_cap,
+                          geom=geom, br=br),
+        grid=(R // br,),
+        in_specs=[spec] * 17 + [gspec],
+        out_specs=[spec] * 5 + [cspec],
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*ins)
+
+    new = SlabState(xl, yl, vx, vy, pid)
+    occupancy = cnt[_ALIVE_POST].max().astype(jnp.int32)
+    lost = (cnt[_ALIVE_PRE].sum() - cnt[_ALIVE_POST].sum()).astype(jnp.int32)
+    dropped = lost + cnt[_FAR_PRE].sum().astype(jnp.int32)
+    deferred = cnt[_RESID_POST].sum().astype(jnp.int32)
+    return new, RebinMonitors(occupancy, dropped, deferred)

@@ -89,6 +89,9 @@ def test_cli_grid_flags_route_to_active_family():
     cfg = config_from_args(p.parse_args(["--grid-capacity", "7"]))
     assert cfg.grid_capacity == 7 and cfg.grid3_capacity == 10
 
+    cfg = config_from_args(p.parse_args(["--grid-rebin-mode", "axes"]))
+    assert cfg.grid_rebin_mode == "axes"
+
 
 def test_cli_help_lists_every_registered_engine():
     """Help text derives from the registry; this pins it so engine additions

@@ -2,6 +2,8 @@
 oracle comparison, determinism discipline, invariant asserts, and multi-rank
 testing without a cluster)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -174,3 +176,20 @@ def test_chunked_timed_run_matches_monolithic(grid_test_config):
     with pytest.raises(ValueError):
         timed_run_repeats(get_engine("grid", grid_test_config), state, 16, 0,
                           repeats=1, chunk_steps=6)  # not a cadence multiple
+
+
+def test_axes_rebin_mode_engine_parity(tiny_grid_config):
+    """grid_rebin_mode='axes' end-to-end: the Mosaic (interpret) engine must
+    stay bit-exact with the XLA twin across several rebin rounds, and the
+    axes trajectory must match dirs9 to f32 summation order."""
+    cfg = dataclasses.replace(tiny_grid_config, grid_rebin_mode="axes")
+    state = init_particles(cfg, seed=42, method="reference")
+    ga = get_engine("grid", cfg).run(state, nsteps=12, savefreq=0)
+    pa = get_engine("pallas", cfg).run(state, nsteps=12, savefreq=0)
+    np.testing.assert_array_equal(np.asarray(ga.state.pos),
+                                  np.asarray(pa.state.pos))
+    ga.check(cfg, capacity=cfg.grid_capacity)
+    pa.check(cfg, capacity=cfg.grid_capacity)
+    g9 = get_engine("grid", tiny_grid_config).run(state, nsteps=12, savefreq=0)
+    np.testing.assert_allclose(np.asarray(ga.state.pos),
+                               np.asarray(g9.state.pos), atol=1e-6)

@@ -167,3 +167,150 @@ def test_rebin_defers_instead_of_dropping(grid_test_config, geom):
     old_pids = np.sort(np.asarray(state.pid)[np.asarray(state.pid) >= 0])
     new_pids = np.sort(np.asarray(new.pid)[np.asarray(new.pid) >= 0])
     np.testing.assert_array_equal(old_pids, new_pids)
+
+
+# ------------------------------------------------- axis-factorized rebin
+def _stress_slab(geom, seed=0, far_movers=0):
+    """Random near-capacity slab with drifted locals (dirs in {-1,0,1}) —
+    heavy acceptance contention on purpose."""
+    from ppsim_tpu.ops.binning import BIG as BIGC
+
+    rng = np.random.default_rng(seed)
+    cap = geom.capacity
+    R, C = geom.rows_pad, geom.cols_pad
+    occ = rng.integers(0, cap + 1, size=(R, C))
+    occ[geom.rows:, :] = 0
+    occ[:, geom.cols:] = 0
+    xl = np.full((cap, R, C), BIGC, np.float32)
+    yl = np.full((cap, R, C), BIGC, np.float32)
+    vx = np.zeros((cap, R, C), np.float32)
+    vy = np.zeros((cap, R, C), np.float32)
+    pid = np.full((cap, R, C), -1, np.int32)
+    k = 0
+    bs = geom.bin_size
+    for r in range(geom.rows):
+        for c in range(geom.cols):
+            for s in range(occ[r, c]):
+                xl[s, r, c] = rng.uniform(-bs, 2 * bs)
+                yl[s, r, c] = rng.uniform(-bs, 2 * bs)
+                vx[s, r, c] = rng.normal()
+                vy[s, r, c] = rng.normal()
+                pid[s, r, c] = k
+                k += 1
+    for i in range(far_movers):
+        r, c = 2 + i, 2
+        if pid[0, r, c] < 0:
+            pid[0, r, c] = k
+            k += 1
+        xl[0, r, c] = 2.2 * bs  # raw row dir = 2: a stale-slack violation
+        yl[0, r, c] = 0.5 * bs
+    return grid_ops.SlabState(*map(jnp.asarray, (xl, yl, vx, vy, pid))), k
+
+
+def _canon(s, geom, n):
+    gx, gy = grid_ops.global_positions(s, geom)
+    pid = np.asarray(s.pid).reshape(-1)
+    ok = pid >= 0
+    out = np.zeros((n, 4))
+    out[pid[ok], 0] = np.asarray(gx).reshape(-1)[ok]
+    out[pid[ok], 1] = np.asarray(gy).reshape(-1)[ok]
+    out[pid[ok], 2] = np.asarray(s.vx).reshape(-1)[ok]
+    out[pid[ok], 3] = np.asarray(s.vy).reshape(-1)[ok]
+    return out, int(ok.sum())
+
+
+def test_axes_rebin_pallas_matches_xla_under_contention():
+    """The fused Mosaic axes kernel must match grid_rebin_axes decision-for-
+    decision (fields AND monitors bitwise) on a near-capacity slab with
+    heavy movement — the adversarial case for the acceptance predicate."""
+    from ppsim_tpu.ops.pallas_rebin import grid_rebin_axes_pallas
+
+    geom = SlabGeometry(rows=13, cols=100, rows_pad=16, cols_pad=128,
+                        capacity=4, bin_size=0.05)
+    slab, n = _stress_slab(geom, seed=0, far_movers=2)
+    a, ma = jax.jit(lambda s: grid_ops.grid_rebin_axes(s, geom, 2))(slab)
+    b, mb = grid_rebin_axes_pallas(slab, geom, 2, interpret=True)
+    for f in a._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+        )
+    assert int(ma.max_occupancy) == int(mb.max_occupancy) <= geom.capacity
+    assert int(ma.dropped) == int(mb.dropped) == 2  # the injected far movers
+    assert int(ma.deferred) == int(mb.deferred) > 0
+    pids = np.asarray(b.pid)
+    pids = pids[pids >= 0]
+    assert pids.size == n and np.unique(pids).size == n  # loss-free
+
+
+def test_rebin_variants_agree_on_global_positions():
+    """dirs9 and axes make different deferral choices but both are loss-free
+    and relocate storage only: per-pid global state must agree to f32
+    reconstruction rounding."""
+    geom = SlabGeometry(rows=13, cols=100, rows_pad=16, cols_pad=128,
+                        capacity=4, bin_size=0.05)
+    slab, n = _stress_slab(geom, seed=1)
+    a, ma = jax.jit(lambda s: grid_ops.grid_rebin(s, geom, 2))(slab)
+    b, mb = jax.jit(lambda s: grid_ops.grid_rebin_axes(s, geom, 2))(slab)
+    ca, na = _canon(a, geom, n)
+    cb, nb = _canon(b, geom, n)
+    assert na == nb == n
+    np.testing.assert_allclose(ca, cb, atol=1e-6)
+    assert int(ma.dropped) == int(mb.dropped) == 0
+    assert int(ma.max_occupancy) <= geom.capacity
+    assert int(mb.max_occupancy) <= geom.capacity
+
+
+def test_far_mover_flagged_pre_rebin_all_variants():
+    """A 2-bin drifter is a stale-slack violation; every rebin variant must
+    count it into the fatal ``dropped`` monitor from the PRE-rebin state
+    (post-rebin it looks like a benign 1-bin mover — the silent-absorption
+    bug class fixed in grid3_rebin_axes in round 3)."""
+    from ppsim_tpu.ops.pallas_rebin import (
+        grid_rebin_axes_pallas,
+        grid_rebin_pallas,
+    )
+
+    geom = SlabGeometry(rows=13, cols=100, rows_pad=16, cols_pad=128,
+                        capacity=4, bin_size=0.05)
+    slab, _ = _stress_slab(geom, seed=2, far_movers=1)
+    variants = {
+        "xla_dirs9": lambda s: grid_ops.grid_rebin(s, geom, 2),
+        "xla_axes": lambda s: grid_ops.grid_rebin_axes(s, geom, 2),
+        "pallas_dirs9": lambda s: grid_rebin_pallas(s, geom, 2, interpret=True),
+        "pallas_axes": lambda s: grid_rebin_axes_pallas(s, geom, 2,
+                                                        interpret=True),
+    }
+    for name, fn in variants.items():
+        _, mon = jax.jit(fn)(slab)
+        assert int(mon.dropped) == 1, name
+
+
+def test_axes_rebin_defers_instead_of_dropping(grid_test_config, geom):
+    """Axes twin of test_rebin_defers_instead_of_dropping: an overfull
+    destination defers entrants in place, never drops them."""
+    from ppsim_tpu.ops.binning import BIG as BIGC
+
+    cfg = grid_test_config
+    cap = geom.capacity
+    xl = np.full(geom.shape, BIGC, dtype=np.float32)
+    yl = np.full(geom.shape, BIGC, dtype=np.float32)
+    vx = np.zeros(geom.shape, np.float32)
+    vy = np.zeros(geom.shape, np.float32)
+    pid = np.full(geom.shape, -1, np.int32)
+    r, c = 3, 3
+    for s in range(cap):
+        pid[s, r, c] = s
+        xl[s, r, c] = geom.bin_size * 1.25
+        yl[s, r, c] = geom.bin_size * 0.5
+        pid[s, r + 1, c] = cap + s
+        xl[s, r + 1, c] = geom.bin_size * 0.5
+        yl[s, r + 1, c] = geom.bin_size * 0.5
+    state = grid_ops.SlabState(*map(jnp.asarray, (xl, yl, vx, vy, pid)))
+    new, mon = jax.jit(
+        lambda s: grid_ops.grid_rebin_axes(s, geom, cfg.evac_capacity)
+    )(state)
+    assert int(mon.dropped) == 0
+    assert int(mon.deferred) == cap
+    old_pids = np.sort(np.asarray(state.pid)[np.asarray(state.pid) >= 0])
+    new_pids = np.sort(np.asarray(new.pid)[np.asarray(new.pid) >= 0])
+    np.testing.assert_array_equal(old_pids, new_pids)
