@@ -34,6 +34,10 @@ done
 echo "=== stage 1: smoke $(stamp)"
 timeout 3600 python bench.py --quick || { echo "SMOKE FAILED"; exit 1; }
 
+echo "=== stage 1b: 2D rebin A/B (dirs9 vs axes), one process $(stamp)"
+timeout 7200 python bench/ab_rebin.py -n 20971520 --repeats 3 \
+    --out bench/results_tpu.jsonl
+
 echo "=== stage 2a: checker-gated 2D 20.97M $(stamp)"
 timeout 10800 python -m ppsim_tpu -n 20971520 --engine pallas -s 42 \
     --savefreq 100 --check --chunk-steps 200 \
