@@ -184,9 +184,9 @@ class ShardedGridEngine(GridEngine):
             *(jnp.concatenate([t, f, b], axis=1)
               for (t, b), f in zip(g, state))
         )
-        new_ext, _ = grid_ops.grid_rebin(
-            ext, self.geom, cfg.evac_capacity, row0=row0 - 2
-        )
+        rebin = (grid_ops.grid_rebin_axes
+                 if cfg.grid_rebin_mode == "axes" else grid_ops.grid_rebin)
+        new_ext, _ = rebin(ext, self.geom, cfg.evac_capacity, row0=row0 - 2)
         return SlabState(*(f[:, 2:-2, :] for f in new_ext))
 
     def _local_move_rebin(self, xl, yl, vx, vy, pid):
@@ -199,6 +199,47 @@ class ShardedGridEngine(GridEngine):
         nxl, nyl, nvx, nvy, max_speed = self._local_plain(xl, yl, vx, vy, pid)
         state = SlabState(nxl, nyl, nvx, nvy, pid)
         row0 = jax.lax.axis_index("x") * self.rows_local
+
+        if self.impl != "xla" and cfg.grid_rebin_mode == "axes":
+            # Fused axes kernel per shard: the x (strip-axis) pass reads
+            # fields at -1..+1 rows and counts at +2, so the exchange is
+            # 1 ghost row from above and 1 (2 for xl/pid) from below —
+            # strictly less traffic than the dirs9 path's field + 9-plane
+            # count ghosts. Monitors come from the kernel's count planes,
+            # reduced across shards (per-shard 'lost' is transfer flux).
+            from ppsim_tpu.ops.pallas_rebin import (
+                _ALIVE_POST,
+                _ALIVE_PRE,
+                _FAR_PRE,
+                _RESID_POST,
+                rebin_axes_call_pallas,
+            )
+
+            fills = ((state.xl, BIG), (state.yl, BIG), (state.vx, 0.0),
+                     (state.vy, 0.0), (state.pid, -1))
+            ghosts = []
+            for fi, (f, fill) in enumerate(fills):
+                nbot = 2 if fi in (0, 4) else 1
+                top = self._from_above(
+                    f[:, -1:, :], jnp.full_like(f[:, -1:, :], fill)
+                )
+                bot = self._from_below(
+                    f[:, :nbot, :], jnp.full_like(f[:, :nbot, :], fill)
+                )
+                ghosts.append((top, bot))
+            new, cnt = rebin_axes_call_pallas(
+                state, self.geom, cfg.evac_capacity,
+                interpret=self.interpret, row0=row0, field_ghosts=ghosts,
+            )
+            before = jax.lax.psum(cnt[_ALIVE_PRE].sum(), "x")
+            after = jax.lax.psum(cnt[_ALIVE_POST].sum(), "x")
+            far_n = jax.lax.psum(cnt[_FAR_PRE].sum(), "x")
+            deferred = jax.lax.psum(cnt[_RESID_POST].sum(), "x")
+            occupancy = jax.lax.pmax(cnt[_ALIVE_POST].max(), "x")
+            dropped = (before - after) + far_n
+            return (new.xl, new.yl, new.vx, new.vy, new.pid,
+                    occupancy.astype(jnp.int32), dropped.astype(jnp.int32),
+                    deferred.astype(jnp.int32), max_speed)
 
         if self.impl == "xla":
             new = self._local_rebin_xla(state, row0)

@@ -33,7 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ppsim_tpu.ops.binning import BIG
 from ppsim_tpu.ops.grid_ops import DIRS, RebinMonitors, SlabGeometry, SlabState
 
-__all__ = ["grid_rebin_pallas", "rebin_counts_pallas", "rebin_shuffle_pallas"]
+__all__ = [
+    "grid_rebin_pallas",
+    "rebin_counts_pallas",
+    "rebin_shuffle_pallas",
+    "grid_rebin_axes_pallas",
+    "rebin_axes_call_pallas",
+]
 
 # Conservative: Mosaic pads small sublane dims to tile boundaries and keeps
 # many live temporaries on the VMEM stack, so real usage runs well past the
@@ -564,6 +570,24 @@ def grid_rebin_axes_pallas(state: SlabState, geom: SlabGeometry, evac_cap: int,
     (top 1-row, bot 1-row) blocks (the x pass reads fields at -1..+1 and
     counts at +2) — for the sharded engine's cross-strip exchange.
     """
+    new, cnt = rebin_axes_call_pallas(state, geom, evac_cap,
+                                      interpret=interpret, row0=row0,
+                                      field_ghosts=field_ghosts)
+    occupancy = cnt[_ALIVE_POST].max().astype(jnp.int32)
+    lost = (cnt[_ALIVE_PRE].sum() - cnt[_ALIVE_POST].sum()).astype(jnp.int32)
+    dropped = lost + cnt[_FAR_PRE].sum().astype(jnp.int32)
+    deferred = cnt[_RESID_POST].sum().astype(jnp.int32)
+    return new, RebinMonitors(occupancy, dropped, deferred)
+
+
+def rebin_axes_call_pallas(state: SlabState, geom: SlabGeometry, evac_cap: int,
+                           interpret: bool = False, row0=None,
+                           field_ghosts=None):
+    """The raw fused-kernel call: returns (new_state, cnt) where ``cnt`` is
+    the (4, R, C) [far_pre, alive_pre, alive_post, residual_movers] stack.
+    The sharded engine reduces these planes itself (per-shard 'lost' is
+    only meaningful after a psum — boundary transfers move alive counts
+    between shards)."""
     cap = state.xl.shape[0]
     R, C = state.xl.shape[1], geom.cols_pad
     br = _pick_row_block(geom, nplanes=30 * cap + 30, rows=R)
@@ -604,9 +628,4 @@ def grid_rebin_axes_pallas(state: SlabState, geom: SlabGeometry, evac_cap: int,
         ),
     )(*ins)
 
-    new = SlabState(xl, yl, vx, vy, pid)
-    occupancy = cnt[_ALIVE_POST].max().astype(jnp.int32)
-    lost = (cnt[_ALIVE_PRE].sum() - cnt[_ALIVE_POST].sum()).astype(jnp.int32)
-    dropped = lost + cnt[_FAR_PRE].sum().astype(jnp.int32)
-    deferred = cnt[_RESID_POST].sum().astype(jnp.int32)
-    return new, RebinMonitors(occupancy, dropped, deferred)
+    return SlabState(xl, yl, vx, vy, pid), cnt

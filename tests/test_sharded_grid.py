@@ -106,3 +106,45 @@ def test_chunked_saved_run_matches_unchunked(tiny_grid_config):
     np.testing.assert_array_equal(
         np.asarray(r1.state.pos), np.asarray(r2.state.pos)
     )
+
+
+def test_sharded_grid_axes_mode_matches_grid(tiny_grid_config):
+    """grid_rebin_mode='axes' across strips: both impls (XLA extension and
+    the fused Mosaic kernel with asymmetric field ghosts) must track the
+    single-chip axes engine through rebins, with identical monitors."""
+    import dataclasses
+
+    import jax
+
+    from ppsim_tpu.engines.sharded_grid import ShardedGridEngine
+
+    cfg = dataclasses.replace(tiny_grid_config, grid_rebin_mode="axes")
+    st = init_particles(cfg, seed=42, method="reference")
+    ref = get_engine("grid", cfg).run(st, nsteps=12, savefreq=0)
+    for impl in ("xla", "pallas"):
+        res = ShardedGridEngine(cfg, devices=jax.devices()[:2], impl=impl).run(
+            st, nsteps=12, savefreq=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.state.pos), np.asarray(res.state.pos), atol=2e-6,
+            err_msg=impl,
+        )
+        res.check(cfg, capacity=cfg.grid_capacity)
+        assert int(res.monitors.migrate_dropped) == 0, impl
+
+
+@pytest.mark.slow
+def test_sharded_grid_axes_conserves_particles_long_run(grid_test_config):
+    """Axes-mode twin of the long-run conservation test: many rebin rounds
+    with cross-strip hops, nothing lost or duplicated."""
+    import dataclasses
+
+    cfg = dataclasses.replace(grid_test_config, grid_rebin_mode="axes")
+    st = init_particles(cfg, seed=7, method="fast")
+    eng = get_engine("sharded_grid", cfg)
+    res = eng.run(st, nsteps=120)
+    eng.check(res)
+    pos = np.asarray(res.state.pos)
+    assert pos.shape[0] == cfg.num_parts
+    assert int(res.monitors.migrate_dropped) == 0
+    assert pos.min() >= 0.0 and pos.max() <= cfg.size
