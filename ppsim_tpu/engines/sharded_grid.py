@@ -231,6 +231,9 @@ class ShardedGridEngine(GridEngine):
                 state, self.geom, cfg.evac_capacity,
                 interpret=self.interpret, row0=row0, field_ghosts=ghosts,
             )
+            # int32 BEFORE the sums: f32 sums lose integer exactness past
+            # 2^24, below the flagship particle counts
+            cnt = cnt.astype(jnp.int32)
             before = jax.lax.psum(cnt[_ALIVE_PRE].sum(), "x")
             after = jax.lax.psum(cnt[_ALIVE_POST].sum(), "x")
             far_n = jax.lax.psum(cnt[_FAR_PRE].sum(), "x")
@@ -238,8 +241,7 @@ class ShardedGridEngine(GridEngine):
             occupancy = jax.lax.pmax(cnt[_ALIVE_POST].max(), "x")
             dropped = (before - after) + far_n
             return (new.xl, new.yl, new.vx, new.vy, new.pid,
-                    occupancy.astype(jnp.int32), dropped.astype(jnp.int32),
-                    deferred.astype(jnp.int32), max_speed)
+                    occupancy, dropped, deferred, max_speed)
 
         if self.impl == "xla":
             new = self._local_rebin_xla(state, row0)

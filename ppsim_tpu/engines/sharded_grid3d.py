@@ -184,18 +184,48 @@ class ShardedGrid3DEngine(Grid3DEngine):
                 rebin3_ypass_pallas,
             )
 
+            from ppsim_tpu.ops.pallas_rebin3 import (
+                _ALIVE_POST3,
+                _ALIVE_PRE3,
+                _FAR_PRE3,
+                _RESID_POST3,
+            )
+
             mid, counts = rebin3_inplane_pallas(
                 ext, self.geom, cfg.evac_capacity,
                 interpret=self.interpret, y0=y0 - 2,
             )
-            new_ext = rebin3_ypass_pallas(
+            new_ext, post = rebin3_ypass_pallas(
                 mid, counts, self.geom, cfg.evac_capacity,
                 interpret=self.interpret, y0=y0 - 2,
             )
-        else:
-            new_ext, _ = grid3d_ops.grid3_rebin_axes(
-                ext, self.geom, cfg.evac_capacity, y0=y0 - 2
-            )
+            new = Slab3State(*(f[:, 2:-2] for f in new_ext))
+            # Monitors from the kernels' count planes, owned slabs only
+            # (ghost slabs recompute the neighbor's stats; per-shard 'lost'
+            # is boundary flux, meaningful only after the psum).
+            # int32 BEFORE the sums: f32 sums lose integer exactness past
+            # 2^24, below the stretch particle counts
+            post = post[:, 2:-2].astype(jnp.int32)
+            if counts.shape[0] > _FAR_PRE3:  # fused path carries pre stats
+                pre = counts[:, 2:-2].astype(jnp.int32)
+                before = jax.lax.psum(pre[_ALIVE_PRE3].sum(), "x")
+                far_n = jax.lax.psum(pre[_FAR_PRE3].sum(), "x")
+            else:
+                _, _, _, far0, _ = grid3d_ops.slab3_dirs(state, self.geom, y0=y0)
+                before = jax.lax.psum(
+                    (state.pid >= 0).astype(jnp.int32).sum(), "x"
+                )
+                far_n = jax.lax.psum(far0.astype(jnp.int32).sum(), "x")
+            after = jax.lax.psum(post[_ALIVE_POST3].sum(), "x")
+            deferred = jax.lax.psum(post[_RESID_POST3].sum(), "x")
+            occupancy = jax.lax.pmax(post[_ALIVE_POST3].max(), "x")
+            dropped = (before - after) + far_n
+            return (new.xl, new.yl, new.zl, new.vx, new.vy, new.vz, new.pid,
+                    occupancy, dropped, deferred, max_speed)
+
+        new_ext, _ = grid3d_ops.grid3_rebin_axes(
+            ext, self.geom, cfg.evac_capacity, y0=y0 - 2
+        )
         new = Slab3State(*(f[:, 2:-2] for f in new_ext))
 
         before = jax.lax.psum((state.pid >= 0).astype(jnp.int32).sum(), "x")

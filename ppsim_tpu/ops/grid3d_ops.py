@@ -492,9 +492,16 @@ def grid3_rebin_axes(state: Slab3State, geom: Geometry3S, evac_cap: int,
         )
         return (st2, jnp.maximum(dfr, d2)), None
 
-    (state, deferred), _ = jax.lax.scan(
+    (state, _), _ = jax.lax.scan(
         one, (state, jnp.zeros((), jnp.int32)),
         jnp.array([1, 2, 0], jnp.int32),  # x, z, y
+    )
+    # deferred = residual movers after all passes (post-hoc — the same
+    # definition the Mosaic wrappers and the 2D variants use, so monitor
+    # values are comparable across every rebin implementation)
+    dy2, dx2, dz2, _, alive2 = slab3_dirs(state, geom, y0=y0)
+    deferred = (
+        (alive2 & ((dy2 != 0) | (dx2 != 0) | (dz2 != 0))).astype(jnp.int32).sum()
     )
     occupancy_planes = (state.pid >= 0).astype(jnp.int32)
     occupancy = occupancy_planes.sum(axis=0).max()

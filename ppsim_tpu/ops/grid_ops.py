@@ -16,10 +16,13 @@ TPU-native answer to the CUDA engine's bin arrays (part3/gpu.cu:24-27):
   (reference: serial.cpp:102-117 / gpu.cu:115-142), all pairs slab-x-slab.
 - **Rebinning is lazy**: a particle may drift out of its bin for up to
   ``rebin_every`` steps; the 3x3 stencil stays correct while total drift is
-  below ``(bin_side - cutoff)/2`` (monitored). The rebin itself is a
-  9-direction dense shuffle — per-direction evacuation compaction + free-slot
-  insertion, all rank-match selects, no atomics, no sort (the lock-free
-  answer to openmp.cpp:170-177 and gpu.cu:109).
+  below ``(bin_side - cutoff)/2`` (monitored). The rebin itself is a dense
+  shuffle — per-direction evacuation compaction + free-slot insertion, all
+  rank-match selects, no atomics, no sort (the lock-free answer to
+  openmp.cpp:170-177 and gpu.cu:109) — in two selectable factorizations:
+  the 9-direction form (``grid_rebin``) and the axis-factorized rows+cols
+  form (``grid_rebin_axes``, two directions per pass, the 2D port of the
+  3D design).
 
 This module holds the geometry plus XLA reference implementations of the
 three phases; :mod:`ppsim_tpu.ops.pallas_grid` provides the Mosaic kernel for

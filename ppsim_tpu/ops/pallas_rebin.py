@@ -1,7 +1,17 @@
 """Mosaic (Pallas TPU) kernels for the loss-free slab-grid rebin shuffle.
 
-Two passes (algorithm identical to the XLA twin, grid_ops.grid_rebin — see
-its docstring for the acceptance-predicate design):
+Two variants, selected by ``SimConfig.grid_rebin_mode``:
+
+- **dirs9** (grid_rebin_pallas): the 9-direction shuffle, two kernels
+  (counts + shuffle), twin of grid_ops.grid_rebin.
+- **axes** (grid_rebin_axes_pallas): the axis-factorized form, ONE fused
+  kernel (rows pass from row views, cols pass lane-local) emitting monitor
+  count planes — twin of grid_ops.grid_rebin_axes and the 2D port of the
+  3D design in pallas_rebin3.
+
+The dirs9 pipeline's two passes (algorithm identical to the XLA twin,
+grid_ops.grid_rebin — see its docstring for the acceptance-predicate
+design):
 
 1. **counts kernel** — per bin: alive count and per-direction leaver counts,
    emitted as a (9, R, C) float32 plane stack (index = DIRS order, index 4 =
@@ -573,10 +583,13 @@ def grid_rebin_axes_pallas(state: SlabState, geom: SlabGeometry, evac_cap: int,
     new, cnt = rebin_axes_call_pallas(state, geom, evac_cap,
                                       interpret=interpret, row0=row0,
                                       field_ghosts=field_ghosts)
-    occupancy = cnt[_ALIVE_POST].max().astype(jnp.int32)
-    lost = (cnt[_ALIVE_PRE].sum() - cnt[_ALIVE_POST].sum()).astype(jnp.int32)
-    dropped = lost + cnt[_FAR_PRE].sum().astype(jnp.int32)
-    deferred = cnt[_RESID_POST].sum().astype(jnp.int32)
+    # int32 BEFORE the sums: per-bin counts are small exact floats, but an
+    # f32 SUM loses integer exactness past 2^24 (< the 20.97M flagship n)
+    cnt = cnt.astype(jnp.int32)
+    occupancy = cnt[_ALIVE_POST].max()
+    lost = cnt[_ALIVE_PRE].sum() - cnt[_ALIVE_POST].sum()
+    dropped = lost + cnt[_FAR_PRE].sum()
+    deferred = cnt[_RESID_POST].sum()
     return new, RebinMonitors(occupancy, dropped, deferred)
 
 

@@ -53,8 +53,15 @@ __all__ = [
     "rebin3_ypass_pallas",
 ]
 
-# Count-plane indices emitted by the in-plane kernel.
+# Count-plane indices emitted by the in-plane kernel. The fused path
+# appends two pre-rebin monitor planes (far movers, alive count) so the
+# wrapper's monitors need no extra HBM pass over the slab state; the
+# split (beyond-VMEM) path emits only the first three and the wrapper
+# falls back to XLA reductions for the pre stats.
 _M_MINUS, _ALIVE, _M_PLUS = 0, 1, 2
+_FAR_PRE3, _ALIVE_PRE3 = 3, 4
+# Post-pass monitor planes emitted by the y-pass kernel.
+_ALIVE_POST3, _RESID_POST3 = 0, 1
 # (field-list order, fill) shared by both kernels: xl yl zl vx vy vz pid.
 _FILLS = (BIG, BIG, BIG, 0.0, 0.0, 0.0, -1)
 
@@ -189,6 +196,29 @@ def _emit_ycounts(planes, yoff_ref, cnt_ref, cap, geom: Geometry3S):
     cnt_ref[_M_PLUS, 0] = cp
 
 
+def _emit_prestats(planes, cnt_ref, cap, geom: Geometry3S):
+    """Write the PRE-rebin monitor planes [far_pre, alive_pre]: far movers
+    are raw >1-bin drifts on ANY axis (matches grid3d_ops.slab3_dirs — the
+    slack-violation signal must be read before the one-hop clamps move the
+    particle, ADVICE-class fix)."""
+    invx = jnp.float32(1.0 / geom.bsx)
+    invy = jnp.float32(1.0 / geom.bsy)
+    invz = jnp.float32(1.0 / geom.bsz)
+    shape = planes[6][0].shape
+    fp = jnp.zeros(shape, jnp.float32)
+    ap = jnp.zeros(shape, jnp.float32)
+    for s in range(cap):
+        alive = planes[6][s] >= 0
+        rx = jnp.floor(planes[0][s] * invx).astype(jnp.int32)
+        ry = jnp.floor(planes[1][s] * invy).astype(jnp.int32)
+        rz = jnp.floor(planes[2][s] * invz).astype(jnp.int32)
+        far = alive & ((jnp.abs(rx) > 1) | (jnp.abs(ry) > 1) | (jnp.abs(rz) > 1))
+        fp = fp + jnp.where(far, 1.0, 0.0)
+        ap = ap + jnp.where(alive, 1.0, 0.0)
+    cnt_ref[_FAR_PRE3, 0] = fp
+    cnt_ref[_ALIVE_PRE3, 0] = ap
+
+
 def _xpass_kernel(*refs, cap, evac_cap, geom: Geometry3S):
     # One y-slab x one Z-chunk per grid step; the x pass's dependencies run
     # only along x (full in the block), so Z tiles freely.
@@ -242,6 +272,7 @@ _CHUNK_BUDGET = 72 * 1024
 def _inplane_kernel(yoff_ref, *refs, cap, evac_cap, geom: Geometry3S):
     in_refs, out_refs, cnt_ref = refs[:7], refs[7:14], refs[14]
     planes = [[in_refs[k][s, 0] for s in range(cap)] for k in range(7)]
+    _emit_prestats(planes, cnt_ref, cap, geom)
     planes = _axis_shuffle(planes, 0, geom.xs, geom, evac_cap)
     planes = _axis_shuffle(planes, 1, geom.zs, geom, evac_cap)
     _emit_ycounts(planes, yoff_ref, cnt_ref, cap, geom)
@@ -252,8 +283,10 @@ def _inplane_kernel(yoff_ref, *refs, cap, evac_cap, geom: Geometry3S):
 
 def _ypass_kernel(yoff_ref, *refs, cap, evac_cap, geom: Geometry3S):
     # inputs: per field 3 single-slab views (y-1, y, y+1) -> 21 refs, then
-    # 5 single-slab count views (y-2 .. y+2); outputs: 7 field refs, slab y.
-    f_refs, c_refs, out_refs = refs[:21], refs[21:26], refs[26:33]
+    # 5 single-slab count views (y-2 .. y+2); outputs: 7 field refs (slab
+    # y) + the (2,) post-pass monitor planes [alive_post, residual_movers].
+    f_refs, c_refs = refs[:21], refs[21:26]
+    out_refs, post_ref = refs[26:33], refs[33]
     i = pl.program_id(0)
     gy = yoff_ref[i, 0]
     inv = jnp.float32(1.0 / geom.bsy)
@@ -324,6 +357,27 @@ def _ypass_kernel(yoff_ref, *refs, cap, evac_cap, geom: Geometry3S):
                 outs[6][t] = jnp.where(sel, spid, outs[6][t])
             srank = srank + jnp.where(mjs, 1.0, 0.0)
 
+    # post-pass monitor planes: settled occupancy + residual movers (the
+    # post-hoc deferred definition shared by every rebin variant). The
+    # grid tiles X, so the x index must be globalized for the dir clamp.
+    xi = (pl.program_id(1) * shape[0]
+          + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+    zi = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    invx = jnp.float32(1.0 / geom.bsx)
+    invz = jnp.float32(1.0 / geom.bsz)
+    ap = jnp.zeros(shape, jnp.float32)
+    rp = jnp.zeros(shape, jnp.float32)
+    for s in range(cap):
+        af = outs[6][s] >= 0
+        dxp = _dir_of(outs[0][s], af, xi, geom.xs, invx)
+        dyp = dy_of(outs[1][s], af, gy)
+        dzp = _dir_of(outs[2][s], af, zi, geom.zs, invz)
+        ap = ap + jnp.where(af, 1.0, 0.0)
+        rp = rp + jnp.where(af & ((dxp != 0) | (dyp != 0) | (dzp != 0)),
+                            1.0, 0.0)
+    post_ref[_ALIVE_POST3, 0] = ap
+    post_ref[_RESID_POST3, 0] = rp
+
     for k in range(7):
         for s in range(cap):
             out_refs[k][s, 0] = outs[k][s]
@@ -355,9 +409,10 @@ def rebin3_inplane_pallas(state: Slab3State, geom: Geometry3S, evac_cap: int,
     cnt_shape = jax.ShapeDtypeStruct((3, Y, Xp, Zp), f32)
 
     if Xp * Zp * 4 <= fuse_limit:
+        cnt_shape = jax.ShapeDtypeStruct((5, Y, Xp, Zp), f32)
         main = pl.BlockSpec((cap, 1, Xp, Zp), lambda i: (0, i, 0, 0),
                             memory_space=pltpu.VMEM)
-        cspec = pl.BlockSpec((3, 1, Xp, Zp), lambda i: (0, i, 0, 0),
+        cspec = pl.BlockSpec((5, 1, Xp, Zp), lambda i: (0, i, 0, 0),
                              memory_space=pltpu.VMEM)
         yspec = pl.BlockSpec((Y, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
         out = pl.pallas_call(
@@ -413,7 +468,11 @@ def rebin3_ypass_pallas(state: Slab3State, counts, geom: Geometry3S,
     """The cross-slab y pass. Fields are ghost-extended by 1 fill slab per
     side (the caller's array may itself already carry real neighbor ghost
     slabs — sharded use), counts by 2; each field enters the kernel ONCE as
-    a 3-slab-tall block."""
+    a 3-slab-tall block. Returns ``(Slab3State, post)`` where ``post`` is
+    the (2, Y, X, Z) [alive_post, residual_movers] monitor stack (reduce
+    instead of re-reading the slab state; sharded callers slice their
+    owned slabs first). ``counts`` may carry the fused path's extra
+    pre-stat planes — the kernel reads only the first three."""
     cap = geom.capacity
     Y = state.xl.shape[1]
     Xp, Zp = state.xl.shape[2], state.xl.shape[3]
@@ -424,7 +483,7 @@ def rebin3_ypass_pallas(state: Slab3State, counts, geom: Geometry3S,
     for k, f in enumerate(state):
         g = jnp.full((cap, 1, Xp, Zp), _FILLS[k], f.dtype)
         exts.append(jnp.concatenate([g, f, g], axis=1))
-    gc = jnp.zeros((3, 2, Xp, Zp), jnp.float32)
+    gc = jnp.zeros((counts.shape[0], 2, Xp, Zp), jnp.float32)
     cext = jnp.concatenate([gc, counts, gc], axis=1)
 
     # Overlapping slab windows: BlockSpec index_maps are in BLOCK units, so
@@ -451,7 +510,10 @@ def rebin3_ypass_pallas(state: Slab3State, counts, geom: Geometry3S,
     out_shapes = (
         [jax.ShapeDtypeStruct((cap, Y, Xp, Zp), jnp.float32)] * 6
         + [jax.ShapeDtypeStruct((cap, Y, Xp, Zp), jnp.int32)]
+        + [jax.ShapeDtypeStruct((2, Y, Xp, Zp), jnp.float32)]
     )
+    post_spec = pl.BlockSpec((2, 1, xc, Zp), lambda i, j: (0, i, j, 0),
+                             memory_space=pltpu.VMEM)
     in_specs = [yspec]
     ins = [yoff]
     for ext in exts:
@@ -466,37 +528,41 @@ def rebin3_ypass_pallas(state: Slab3State, counts, geom: Geometry3S,
                           geom=geom),
         grid=(Y, Xp // xc),
         in_specs=in_specs,
-        out_specs=[main] * 7,
+        out_specs=[main] * 7 + [post_spec],
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
     )(yoff, *ins[1:])
-    return Slab3State(*out)
+    return Slab3State(*out[:7]), out[7]
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "evac_cap", "interpret"))
 def grid3_rebin_pallas(state: Slab3State, geom: Geometry3S, evac_cap: int,
                        interpret: bool = False):
     """Single-chip Mosaic 3D rebin: fused xz pass + y pass + monitors
-    (same contract as grid3d_ops.grid3_rebin_axes)."""
-    alive0 = (state.pid >= 0).astype(jnp.int32).sum()
-    _, _, _, far0, _ = slab3_dirs(state, geom)  # pre-rebin slack violations
-
+    (same contract as grid3d_ops.grid3_rebin_axes). The monitors reduce
+    the kernels' emitted count planes — the fused path pays no extra HBM
+    pass over the slab state; only the split (beyond-VMEM) fallback still
+    computes its pre-rebin stats with XLA reductions."""
     mid, counts = rebin3_inplane_pallas(state, geom, evac_cap,
                                         interpret=interpret)
-    new = rebin3_ypass_pallas(mid, counts, geom, evac_cap,
-                              interpret=interpret)
+    new, post = rebin3_ypass_pallas(mid, counts, geom, evac_cap,
+                                    interpret=interpret)
 
-    occupancy_planes = (new.pid >= 0).astype(jnp.int32)
-    lost = alive0 - occupancy_planes.sum()
-    dy, dx, dz, _, alive2 = slab3_dirs(new, geom)
-    deferred = (
-        (alive2 & ((dy != 0) | (dx != 0) | (dz != 0))).astype(jnp.int32).sum()
-    )
-    occupancy = occupancy_planes.sum(axis=0).max()
-    dropped = (lost + far0.astype(jnp.int32).sum()).astype(jnp.int32)
-    return new, RebinMonitors(
-        occupancy.astype(jnp.int32), dropped, deferred.astype(jnp.int32)
-    )
+    # int32 BEFORE the sums: per-bin counts are small exact floats, but an
+    # f32 SUM loses integer exactness past 2^24 (< the 20.97M stretch n)
+    post = post.astype(jnp.int32)
+    if counts.shape[0] > _FAR_PRE3:  # fused path: pre stats in the stack
+        far_n = counts[_FAR_PRE3].astype(jnp.int32).sum()
+        alive0 = counts[_ALIVE_PRE3].astype(jnp.int32).sum()
+    else:  # split fallback: pre stats via XLA over the input state
+        _, _, _, far0, _ = slab3_dirs(state, geom)
+        far_n = far0.astype(jnp.int32).sum()
+        alive0 = (state.pid >= 0).astype(jnp.int32).sum()
+
+    occupancy = post[_ALIVE_POST3].max()
+    lost = alive0 - post[_ALIVE_POST3].sum()
+    deferred = post[_RESID_POST3].sum()
+    return new, RebinMonitors(occupancy, lost + far_n, deferred)

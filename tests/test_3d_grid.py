@@ -260,14 +260,14 @@ def test_pallas_rebin3_matches_xla(path):
                                      interpret=True)
         assert int(amon.dropped) == int(bmon.dropped) == 0
         assert int(amon.max_occupancy) == int(bmon.max_occupancy)
+        # deferred conventions are unified (post-hoc residual movers), so
+        # the monitor must match exactly too
+        assert int(amon.deferred) == int(bmon.deferred)
     else:
         mid, counts = rebin3_inplane_pallas(slab, geom, cfg.evac_capacity,
                                             interpret=True, fuse_limit=0)
-        b = rebin3_ypass_pallas(mid, counts, geom, cfg.evac_capacity,
-                                interpret=True)
-    # deferred counts use different (both valid) conventions: the XLA twin
-    # reports max rejected-per-pass, the Pallas wrapper reports post-state
-    # residual movers — state equality below is the real contract.
+        b, _ = rebin3_ypass_pallas(mid, counts, geom, cfg.evac_capacity,
+                                   interpret=True)
 
     def canon(s):
         pos, vel = grid3d_ops.slab3_to_particles(s, geom, cfg.num_parts)
