@@ -128,12 +128,14 @@ class SimConfig:
     # Max particles leaving one bin in one direction per rebin; excess
     # defers to the next rebin (monitored).
     evac_capacity: int = 4
-    # 2D rebin algorithm: "dirs9" = the 9-direction dense shuffle;
-    # "axes" = the axis-factorized form (rows pass then cols pass, the 2D
-    # port of the 3D design — 2 directions per pass instead of 8). Both are
-    # loss-free under the same acceptance contract; deferral decisions
-    # differ, so cross-variant trajectories agree to f32 summation order.
-    grid_rebin_mode: str = "dirs9"
+    # 2D rebin algorithm: "axes" (default) = the axis-factorized form (rows
+    # pass then cols pass, the 2D port of the 3D design — 2 directions per
+    # pass instead of 8); "dirs9" = the original 9-direction dense shuffle,
+    # kept as an ablation. Both are loss-free under the same acceptance
+    # contract; deferral decisions differ, so cross-variant trajectories
+    # agree to f32 summation order. A one-process TPU A/B at n=20.97M
+    # measured axes 1.069x faster (bench/results_tpu.jsonl, ab rows).
+    grid_rebin_mode: str = "axes"
 
     # ---- derived geometry ----
     @property
