@@ -188,6 +188,48 @@ class Engine:
             )
         return self._programs[key]
 
+    # ---- segment programs (host-extracted-frame saved runs) ---------------
+    # A "segment" is an UNSAVED slice of the run: `length` steps starting
+    # after `phase` steps have already executed (engines with a structural
+    # cadence — the grid family's rebin — override `_segment_phase` /
+    # `_segment_impl` so the cadence continues seamlessly across segment
+    # boundaries). The chunked SAVED driver in harness.timed_run_repeats
+    # composes these with a separately-jitted `frame_of` pulled between
+    # programs: the compiled step program then has the memory profile of the
+    # benchmark (unsaved) program — in-program frame capture (the
+    # slab→particles gather + frame stacking) OOMed HBM by ~0.7 GB at
+    # n=20.97M, while the unsaved program at the same size runs with
+    # headroom. Frames land at the reference cadence (after steps
+    # 1, 1+savefreq, ...; part1/main.cpp:127-137), bit-identical to the
+    # monolithic saved program.
+    def _segment_phase(self, steps_done: int) -> int:
+        """Cadence phase key for a segment starting after ``steps_done``
+        steps. Base engines fold every cadence into step_carry, so all
+        phases compile to the same program."""
+        return 0
+
+    def _segment_impl(self, carry, *, length: int, phase: int):
+        del phase  # base: step_carry is cadence-free
+        carry, _ = jax.lax.scan(
+            lambda c, _: (self.step_carry(c), None), carry, None, length=length
+        )
+        return carry
+
+    def _segment_program(self, length: int, phase: int):
+        key = ("segment", length, phase)
+        if key not in self._programs:
+            self._programs[key] = jax.jit(
+                functools.partial(self._segment_impl, length=length, phase=phase),
+                donate_argnums=(0,) if self.donate_run_carry else (),
+            )
+        return self._programs[key]
+
+    def _frame_program(self):
+        """Jitted frame_of (same rationale as final_state_jit)."""
+        if not hasattr(self, "_frame_jit"):
+            self._frame_jit = jax.jit(self.frame_of)
+        return self._frame_jit
+
     def _run_impl(self, carry, *, nsteps: int, savefreq: int):
         def plain(c, _):
             return self.step_carry(c), None
@@ -203,6 +245,13 @@ class Engine:
 
         def saving_block(c, length):
             c = self.step_carry(c)
+            # Materialize the carry before capturing: without the barrier
+            # XLA duplicates the position-update chain into the frame
+            # consumer with different fusion (FMA vs mul+add), putting
+            # in-program frames 1 ulp off the state the run carries
+            # forward — and off the host-extracted frames of the chunked
+            # saved driver, which must match bit-for-bit.
+            c = jax.lax.optimization_barrier(c)
             f = self.frame_of(c)
             c, _ = jax.lax.scan(plain, c, None, length=length - 1)
             return c, f

@@ -144,6 +144,40 @@ class GridEngine(Engine):
         )
         return GridCarry(slab, step, monitors)
 
+    def _segment_phase(self, steps_done: int) -> int:
+        return steps_done % self.rebin_every
+
+    def _segment_impl(self, carry, *, length: int, phase: int):
+        """Unsaved ``length``-step slice starting after ``phase`` global
+        steps: rebins land on global steps ≡ 0 (mod rebin_every), so
+        segments compose bit-identically with the monolithic schedule
+        (phase 0 over the whole run is exactly the unsaved benchmark
+        program)."""
+        K = self.rebin_every
+
+        def plain_scan(c, n):
+            if n <= 0:
+                return c
+            c, _ = jax.lax.scan(
+                lambda cc, _: (self.step_plain(cc), None), c, None, length=n
+            )
+            return c
+
+        def block(c, _):
+            return self.step_with_rebin(plain_scan(c, K - 1)), None
+
+        r = phase % K
+        if r:
+            first = K - r  # steps to and including the next rebin boundary
+            if first > length:
+                return plain_scan(carry, length)
+            carry = self.step_with_rebin(plain_scan(carry, first - 1))
+            length -= first
+        nblocks, rem = divmod(length, K)
+        if nblocks:
+            carry, _ = jax.lax.scan(block, carry, None, length=nblocks)
+        return plain_scan(carry, rem)
+
     def _run_impl(self, carry, *, nsteps: int, savefreq: int):
         """Statically-scheduled run driver: no per-step branch ever, and no
         collectives inside conditionals for the sharded variant.
@@ -158,24 +192,8 @@ class GridEngine(Engine):
         """
         K = self.rebin_every
 
-        def plain_scan(c, length):
-            if length <= 0:
-                return c
-            c, _ = jax.lax.scan(
-                lambda cc, _: (self.step_plain(cc), None), c, None, length=length
-            )
-            return c
-
         if savefreq <= 0:
-
-            def block(c, _):
-                return self.step_with_rebin(plain_scan(c, K - 1)), None
-
-            nblocks = nsteps // K
-            rem = nsteps - nblocks * K
-            if nblocks:
-                carry, _ = jax.lax.scan(block, carry, None, length=nblocks)
-            return plain_scan(carry, rem), None
+            return self._segment_impl(carry, length=nsteps, phase=0), None
 
         L = math.lcm(savefreq, K)
         # The period is statically unrolled: L step bodies in one scan. Near-
@@ -206,6 +224,11 @@ class GridEngine(Engine):
             for i in range(1, length + 1):
                 c = self.step_with_rebin(c) if i % K == 0 else self.step_plain(c)
                 if (i - 1) % savefreq == 0:
+                    # Barrier before capture: keeps in-program frames
+                    # bit-identical to the carried state (and to the
+                    # chunked saved driver's host-extracted frames) — see
+                    # Engine._run_impl.saving_block.
+                    c = jax.lax.optimization_barrier(c)
                     frames.append(self.frame_of(c))
             return c, frames
 

@@ -36,9 +36,13 @@ __all__ = ["main", "timed_run", "timed_run_repeats", "build_parser",
 
 
 def build_parser() -> argparse.ArgumentParser:
+    # allow_abbrev=False: prefix matching once silently routed `--dt 1e-4`
+    # into --dtype (there was no --dt yet), making a Lennard-Jones run fail
+    # on dtype parsing instead of setting the timestep.
     p = argparse.ArgumentParser(
         prog="ppsim_tpu",
         description="TPU-native parallel particle simulation",
+        allow_abbrev=False,
     )
     # Reference flags (part1/main.cpp:95-117)
     p.add_argument("-n", type=int, default=1000, help="set number of particles")
@@ -61,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "want ~7e-6 for comparable collision rates)")
     p.add_argument("--force-law", default="repulsive",
                    help="repulsive (reference) | lj (truncated Lennard-Jones)")
+    p.add_argument("--dt", type=float, default=None,
+                   help="override the timestep (default 0.0005; LJ runs "
+                        "want ~1e-4 — its r^-12 core is stiffer)")
     p.add_argument("--bin-scale", type=float, default=2.0, help="bin side / cutoff")
     p.add_argument("--bin-capacity", type=int, default=8, help="max particles per bin")
     p.add_argument("--grid-bin-scale", type=float, default=None,
@@ -89,10 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", type=str, default=None,
                    help="resume from a checkpoint instead of initializing")
     p.add_argument("--chunk-steps", type=int, default=None,
-                   help="execute the run as nsteps/chunk-steps invocations of "
-                        "one compiled chunk program (relayed TPU workers die "
-                        "under ~minute-long single executions); must divide "
-                        "--steps and align with the save/rebin cadences")
+                   help="bound the steps per device execution (relayed TPU "
+                        "workers die under ~minute-long single executions). "
+                        "Unsaved runs: must divide --steps and the rebin "
+                        "cadence. Saved (-o/--check) runs: no alignment "
+                        "constraint — unsaved segment programs run with "
+                        "frames pulled host-side between them")
     p.add_argument("--metrics", type=str, default=None, help="append a JSONL metrics record")
     p.add_argument("--trace", type=str, default=None,
                    help="write a jax.profiler trace (TensorBoard format) to this dir")
@@ -110,33 +119,41 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
     compilation and particle init outside it (part1/main.cpp:118-143 — the
     C++ builds are AOT-compiled too).
 
-    ``chunk_steps``: execute the run as ``nsteps / chunk_steps`` invocations
-    of ONE compiled chunk program instead of a single monolithic program
-    (must divide ``nsteps``). Unsaved chunks dispatch asynchronously
-    back-to-back — the device never drains between chunks and only the final
-    fence synchronizes, so the timing contract is unchanged. Saved chunks
-    (savefreq > 0) additionally pull each chunk's frames to the host between
-    invocations — a synchronous drain, but one the reference's own ``-o``
-    runs pay too (saves happen inside its timed loop, part1/main.cpp:
-    132-137); benchmark rows stay unsaved. This exists because the relayed
-    TPU's worker intermittently dies under single executions running ~a
-    minute or more (observed repeatedly at n=16.8M in 3D, ~60-90 s/run;
-    never at <=25 s/run): shorter executions survive relay timeslicing.
+    ``chunk_steps``: bound the steps per device execution. Unsaved runs
+    execute ``nsteps / chunk_steps`` invocations of ONE compiled chunk
+    program (chunk_steps must divide nsteps and the rebin cadence), and
+    dispatch asynchronously back-to-back — the device never drains between
+    chunks and only the final fence synchronizes, so the timing contract is
+    unchanged. Saved runs (savefreq > 0) instead run UNSAVED segment
+    programs with frames pulled host-side between programs at the reference
+    cadence (see :func:`_timed_run_segments`) — a synchronous drain, but
+    one the reference's own ``-o`` runs pay too (saves happen inside its
+    timed loop, part1/main.cpp:132-137); benchmark rows stay unsaved.
+    Chunking exists because the relayed TPU's worker intermittently dies
+    under single executions running ~a minute or more (observed repeatedly
+    at n=16.8M in 3D, ~60-90 s/run; never at <=25 s/run): shorter
+    executions survive relay timeslicing.
 
     Returns ``(RunResult, [seconds, ...])``. Repeats exist because a relayed
     TPU shares the wire with other tenants: single-shot timings vary several-
     fold under contention, so benchmarks report best-of-N plus the spread.
     """
     if chunk_steps:
+        if savefreq > 0:
+            # Chunked SAVED runs use segment programs with host-side frame
+            # extraction: the in-program frame capture (slab→particles
+            # gather + frame stacking inside the compiled chunk) exceeded
+            # HBM by ~0.7 GB at n=20.97M, while the unsaved program at the
+            # same size fits with headroom. No cadence alignment needed —
+            # segments carry the rebin phase explicitly.
+            return _timed_run_segments(engine, state, nsteps, savefreq,
+                                       repeats, chunk_steps)
+        # Unsaved chunks must end phase-aligned: chunk length a multiple of
+        # the rebin cadence, or chunked and monolithic runs would diverge.
+        quantum = getattr(engine, "rebin_every", 1)
         if nsteps % chunk_steps:
             raise ValueError(
                 f"chunk_steps={chunk_steps} must divide nsteps={nsteps}")
-        # A chunk must end phase-aligned: its length has to be a multiple of
-        # every cadence the program folds in (rebin for unsaved runs; the
-        # engine's save quantum — lcm of savefreq and rebin — for saved
-        # ones), or chunked and monolithic runs would diverge.
-        quantum = (engine._chunk_quantum(savefreq) if savefreq > 0
-                   else getattr(engine, "rebin_every", 1))
         if chunk_steps % quantum:
             raise ValueError(
                 f"chunk_steps={chunk_steps} must be a multiple of the "
@@ -162,13 +179,8 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
     for _ in range(max(1, repeats)):
         t0 = time.perf_counter()
         carry = engine.init_carry(state)
-        frames_parts = []
         for _c in range(n_chunks):
             carry, frames = compiled(carry)
-            if savefreq > 0 and n_chunks > 1 and frames is not None:
-                # Stream each chunk's frames off the device (bounds HBM frame
-                # storage and keeps executions short; see docstring).
-                frames_parts.append(np.asarray(frames))
         final = engine.final_state_jit(carry)
         # Real sync: fetch one scalar through the device->host path
         # (block_until_ready is not a reliable fence on relayed platforms).
@@ -176,13 +188,76 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
         times.append(time.perf_counter() - t0)
 
     monitors = jax.tree.map(np.asarray, engine.monitors_of(carry))
-    if frames_parts:
-        frames_np = np.concatenate(frames_parts)
-    else:
-        frames_np = np.asarray(frames) if frames is not None else None
+    frames_np = np.asarray(frames) if frames is not None else None
     from ppsim_tpu.engines.base import RunResult
 
     return RunResult(final, frames_np, monitors), times
+
+
+def _saved_segment_schedule(nsteps: int, savefreq: int, max_seg: int):
+    """``[(length, capture_after), ...]`` covering ``nsteps`` steps, with a
+    frame captured after global steps 1, 1+savefreq, ... (the reference
+    cadence: step, then save when step %% savefreq == 0 —
+    part1/main.cpp:127-137); every segment is at most ``max_seg`` steps
+    (the relayed TPU kills single executions running ~a minute+)."""
+    segs, done = [], 0
+    while done < nsteps:
+        nxt = 1 if done < 1 else 1 + ((done - 1) // savefreq + 1) * savefreq
+        end = min(done + max_seg, nxt if nxt <= nsteps else nsteps)
+        segs.append((end - done, end == nxt))
+        done = end
+    return segs
+
+
+def _timed_run_segments(engine, state: ParticleState, nsteps: int,
+                        savefreq: int, repeats: int, max_seg: int):
+    """Chunked SAVED runs: each compiled program is an UNSAVED segment
+    (``Engine._segment_program`` — the benchmark program's memory profile)
+    and frames are extracted between programs by a separately-jitted
+    ``frame_of``, whose temporaries therefore never coexist with step-
+    program peak memory. Bit-identical to the monolithic saved program
+    (same step schedule, same frame states; tested). The synchronous frame
+    pulls inside the timer are the cost the reference's ``-o`` runs pay too
+    (saves happen inside its timed loop, part1/main.cpp:132-137)."""
+    schedule = _saved_segment_schedule(nsteps, savefreq, max_seg)
+    state = jax.device_put(state)
+    keys, progs = [], {}
+    done = 0
+    for ln, _cap in schedule:
+        key = (ln, engine._segment_phase(done))
+        keys.append(key)
+        if key not in progs:
+            progs[key] = engine._segment_program(ln, key[1])
+        done += ln
+    frame_jit = engine._frame_program()
+    probe = jax.jit(lambda st: st.pos.ravel()[0])
+    # Warm every distinct program once, chained (segment programs donate
+    # their input carry, so each output feeds the next warm call).
+    warm = engine.init_carry(state)
+    for key in dict.fromkeys(keys):
+        warm = progs[key](warm)
+    np.asarray(frame_jit(warm))
+    np.asarray(probe(engine.final_state_jit(warm)))
+    del warm
+
+    times = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        carry = engine.init_carry(state)
+        frames = []
+        for (ln, cap), key in zip(schedule, keys):
+            carry = progs[key](carry)
+            if cap:
+                frames.append(np.asarray(frame_jit(carry)))
+        final = engine.final_state_jit(carry)
+        np.asarray(probe(final))
+        times.append(time.perf_counter() - t0)
+
+    monitors = jax.tree.map(np.asarray, engine.monitors_of(carry))
+    from ppsim_tpu.engines.base import RunResult
+
+    return RunResult(final, np.stack(frames) if frames else None,
+                     monitors), times
 
 
 def timed_run(engine, state: ParticleState, nsteps: int, savefreq: int,
@@ -226,6 +301,8 @@ def config_from_args(args) -> SimConfig:
         grid_kw["grid_rebin_mode"] = args.grid_rebin_mode
     if args.density is not None:
         grid_kw["density"] = args.density
+    if getattr(args, "dt", None) is not None:
+        grid_kw["dt"] = args.dt
     return SimConfig(
         num_parts=args.n,
         dtype=args.dtype,

@@ -92,6 +92,11 @@ def test_cli_grid_flags_route_to_active_family():
     cfg = config_from_args(p.parse_args(["--grid-rebin-mode", "axes"]))
     assert cfg.grid_rebin_mode == "axes"
 
+    # --dt must set the timestep, not prefix-match into --dtype (a real
+    # failure: the r3 LJ 20.97M check-gate run died parsing dtype="1e-4").
+    cfg = config_from_args(p.parse_args(["--force-law", "lj", "--dt", "1e-4"]))
+    assert cfg.dt == 1e-4 and cfg.dtype == "float32"
+
 
 def test_cli_help_lists_every_registered_engine():
     """Help text derives from the registry; this pins it so engine additions
@@ -164,27 +169,32 @@ def test_bench_retries_transient_tpu_failure(monkeypatch):
 
 
 def test_timed_run_chunked_saved_matches_monolithic(grid_test_config):
-    """A chunked SAVED run (frames streamed to host between chunk
-    invocations) must be bit-identical to the monolithic program — same
-    frames, same final state — and reject cadence-misaligned chunks."""
+    """A chunked SAVED run (unsaved segment programs + host-side frame
+    extraction between them) must be bit-identical to the monolithic saved
+    program — same frames, same final state — including when chunk_steps is
+    NOT aligned with the save or rebin cadence (segments carry the phase,
+    so no alignment constraint exists on the saved path; in-program frame
+    capture OOMed HBM at n=20.97M, which is why this path exists)."""
     from ppsim_tpu.engines import get_engine
     from ppsim_tpu.harness import timed_run_repeats
     from ppsim_tpu.initlib import init_particles
 
     cfg = grid_test_config  # rebin_every=4
     state = init_particles(cfg, seed=42)
-    savefreq = 2  # quantum = lcm(2, 4) = 4
+    savefreq = 2
     mono, _ = timed_run_repeats(get_engine("grid", cfg), state, 16, savefreq,
                                 repeats=1)
-    chunked, _ = timed_run_repeats(get_engine("grid", cfg), state, 16, savefreq,
-                                   repeats=1, chunk_steps=8)
-    np.testing.assert_array_equal(mono.frames, chunked.frames)
-    np.testing.assert_array_equal(np.asarray(mono.state.pos),
-                                  np.asarray(chunked.state.pos))
-
-    with pytest.raises(ValueError, match="cadence quantum"):
-        timed_run_repeats(get_engine("grid", cfg), state, 12, savefreq,
-                          repeats=1, chunk_steps=6)  # not a multiple of 4
+    for chunk in (8, 6, 3):  # aligned, cadence-misaligned, non-divisor
+        chunked, _ = timed_run_repeats(get_engine("grid", cfg), state, 16,
+                                       savefreq, repeats=1, chunk_steps=chunk)
+        # Exact equality on frames relies on the optimization_barrier at
+        # the monolithic program's capture points: without it XLA fuses a
+        # recompute of the position chain into the frame consumer, putting
+        # in-program frames 1 ulp off the carried state the segment driver
+        # reads (a real failure seen when this path landed).
+        np.testing.assert_array_equal(mono.frames, chunked.frames)
+        np.testing.assert_array_equal(np.asarray(mono.state.pos),
+                                      np.asarray(chunked.state.pos))
 
 
 def test_readme_lists_every_registered_engine():
