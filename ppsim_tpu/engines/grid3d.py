@@ -146,7 +146,10 @@ class Pallas3DEngine(Grid3DEngine):
         self.interpret = (not _on_tpu()) if interpret is None else interpret
 
     def move_phase(self, slab: Slab3State):
-        from ppsim_tpu.ops.pallas_grid3d import grid3_step_pallas
+        from ppsim_tpu.ops.pallas_grid3d import (
+            SPEED_PLANE_CAP_MAX,
+            grid3_step_pallas,
+        )
 
         cfg = self.config
         xl, yl, zl, vx, vy, vz, speed2 = grid3_step_pallas(
@@ -154,7 +157,12 @@ class Pallas3DEngine(Grid3DEngine):
             cfg.cutoff, cfg.min_r, cfg.mass, cfg.dt, cfg.size,
             interpret=self.interpret,
             law=cfg.force_law, law_params=cfg.law_params,
+            emit_speed=self.geom.capacity <= SPEED_PLANE_CAP_MAX,
         )
+        if speed2 is None:
+            # High-cap fallback: reduce over the returned velocity planes
+            # (dead slots hold v = 0 — same masking as the in-kernel plane).
+            speed2 = vx * vx + vy * vy + vz * vz
         max_speed = jnp.sqrt(speed2.max())
         return Slab3State(xl, yl, zl, vx, vy, vz, slab.pid), max_speed
 

@@ -131,7 +131,10 @@ class ShardedGrid3DEngine(Grid3DEngine):
         return self._local_plain_xla(xl, yl, zl, vx, vy, vz, pid)
 
     def _local_plain_pallas(self, xl, yl, zl, vx, vy, vz, pid):
-        from ppsim_tpu.ops.pallas_grid3d import grid3_step_pallas
+        from ppsim_tpu.ops.pallas_grid3d import (
+            SPEED_PLANE_CAP_MAX,
+            grid3_step_pallas,
+        )
 
         cfg = self.config
         y0 = jax.lax.axis_index("x") * self.ys_local
@@ -145,7 +148,11 @@ class ShardedGrid3DEngine(Grid3DEngine):
             interpret=self.interpret, y0=y0,
             ghosts=(tx, ty, tz, bx, by, bz),
             law=cfg.force_law, law_params=cfg.law_params,
+            emit_speed=self.geom.capacity <= SPEED_PLANE_CAP_MAX,
         )
+        if speed2 is None:
+            # High-cap VMEM fallback (see Pallas3DEngine.move_phase).
+            speed2 = nvx * nvx + nvy * nvy + nvz * nvz
         max_speed = jax.lax.pmax(jnp.sqrt(speed2.max()), "x")
         return nxl, nyl, nzl, nvx, nvy, nvz, max_speed
 

@@ -206,7 +206,7 @@ def _step3_kernel(yoff_ref, x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
     y_off = yoff_ref[i, 0].astype(jnp.float32) * bsy
     z_off = zi.astype(jnp.float32) * bsz
 
-    sp = jnp.zeros(shape, jnp.float32)
+    sp = None if spo_ref is None else jnp.zeros(shape, jnp.float32)
     for s in range(cap):
         xl = plane(x_ref, s)
         alive = xl < jnp.float32(0.5 * BIG)
@@ -237,23 +237,54 @@ def _step3_kernel(yoff_ref, x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
         vzo_ref[s, 0] = vz
         # max-|v|^2 monitor plane: dead slots hold v = 0, matching
         # grid3d_ops.grid3_move's alive-masked speed2 exactly
-        sp = jnp.maximum(sp, vx * vx + vy * vy + vz * vz)
-    spo_ref[0] = sp
+        if spo_ref is not None:
+            sp = jnp.maximum(sp, vx * vx + vy * vy + vz * vz)
+    if spo_ref is not None:
+        spo_ref[0] = sp
+
+
+def _step3_kernel_nospeed(yoff_ref, x_ref, xf_ref, y_ref, yf_ref, z_ref,
+                          zf_ref, gx_ref, gy_ref, gz_ref,
+                          vx_ref, vy_ref, vz_ref,
+                          xo_ref, yo_ref, zo_ref, vxo_ref, vyo_ref, vzo_ref,
+                          ax_ref, ay_ref, az_ref, sx_ref, sy_ref, sz_ref,
+                          **kw):
+    """Six-output variant: no speed plane (spo_ref=None skips its compute)."""
+    _step3_kernel(yoff_ref, x_ref, xf_ref, y_ref, yf_ref, z_ref, zf_ref,
+                  gx_ref, gy_ref, gz_ref, vx_ref, vy_ref, vz_ref,
+                  xo_ref, yo_ref, zo_ref, vxo_ref, vyo_ref, vzo_ref, None,
+                  ax_ref, ay_ref, az_ref, sx_ref, sy_ref, sz_ref, **kw)
+
+
+# Largest slot capacity that emits the max-|v|^2 monitor plane IN-KERNEL.
+# The plane's extra live values tip Mosaic's register allocator into heavy
+# spilling at high capacities: measured at n=20.97M, the LJ body needs
+# 111.2 MB of scoped VMEM at cap 12 without the plane, compiles WITH the
+# plane at cap 12 (the 3D repulsive check-gate), but needs 135.8 MB at
+# cap 13 with it — over the 128 MB physical VMEM. Above this cap the
+# engine reduces max speed XLA-side from the returned velocity planes
+# instead (~1.5% step cost: one extra HBM pass over three slabs).
+SPEED_PLANE_CAP_MAX = 12
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("geom", "cutoff", "min_r", "mass", "dt", "size",
-                     "interpret", "law", "law_params"),
+                     "interpret", "law", "law_params", "emit_speed"),
 )
 def grid3_step_pallas(xl, yl, zl, vx, vy, vz, geom: Geometry3S,
                       cutoff, min_r, mass, dt, size, interpret=False,
-                      y0=None, ghosts=None, law="repulsive", law_params=()):
+                      y0=None, ghosts=None, law="repulsive", law_params=(),
+                      emit_speed=True):
     """Fused symmetric 3D force+move step. Returns (xl', yl', zl', vx',
     vy', vz', speed2) where ``speed2`` is a (Y, Xp, Zp) plane of per-bin
     max |v|^2 over slots (reduce with ``jnp.sqrt(speed2.max())`` — the
     stale-slack monitor input, emitted in-kernel to avoid an extra HBM
-    pass over the three velocity slabs).
+    pass over the three velocity slabs). With ``emit_speed=False`` the
+    plane is neither computed nor returned (speed2 is None): the caller
+    reduces over the velocity outputs instead (dead slots hold v = 0).
+    Use for capacities above ``SPEED_PLANE_CAP_MAX``, where the plane's
+    register pressure pushes the kernel past physical VMEM.
 
     ``y0``: traced global index of this array's first y-slab (sharded
     strips pass ``axis_index * ys_local``; default 0).
@@ -285,19 +316,23 @@ def grid3_step_pallas(xl, yl, zl, vx, vy, vz, geom: Geometry3S,
                          memory_space=pltpu.VMEM)
     yspec = pl.BlockSpec((Y, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     kernel = functools.partial(
-        _step3_kernel, cap=cap, geom=geom,
+        _step3_kernel if emit_speed else _step3_kernel_nospeed,
+        cap=cap, geom=geom,
         cutoff=cutoff, min_r=min_r, mass=mass, dt=dt, size=size,
         has_ghosts=ghosts is not None, law=law, law_params=law_params,
     )
+    out_specs = [main] * 6
+    out_shape = [jax.ShapeDtypeStruct((cap, Y, Xp, Zp), jnp.float32)] * 6
+    if emit_speed:
+        out_specs += [pl.BlockSpec((1, Xp, Zp), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((Y, Xp, Zp), jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid=(Y,),
         in_specs=[yspec] + [main, nxt] * 3 + [gspec] * 3 + [main] * 3,
-        out_specs=[main] * 6
-        + [pl.BlockSpec((1, Xp, Zp), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((cap, Y, Xp, Zp), jnp.float32)] * 6
-        + [jax.ShapeDtypeStruct((Y, Xp, Zp), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((cap, Xp, Zp), jnp.float32)] * 6,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -311,4 +346,6 @@ def grid3_step_pallas(xl, yl, zl, vx, vy, vz, geom: Geometry3S,
             transcendentals=Y * Xp * Zp * cap * cap * 14,
         ),
     )(yoff, xe, xe, ye, ye, ze, ze, tx, ty, tz, vx, vy, vz)
+    if not emit_speed:
+        return tuple(out) + (None,)
     return tuple(out)

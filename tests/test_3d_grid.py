@@ -49,6 +49,40 @@ def test_pallas3d_interpret_matches_grid3d(cfg3):
     )
 
 
+def test_pallas3d_nospeed_variant_matches(cfg3):
+    """emit_speed=False (the high-capacity VMEM fallback: the speed plane's
+    register pressure pushed the cap-13 LJ kernel past 128 MB physical VMEM
+    at n=20.97M) must produce bit-identical state and the same max-speed
+    value via the XLA-side reduction over the velocity outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ppsim_tpu.ops.pallas_grid3d import grid3_step_pallas
+
+    cfg = SimConfig(num_parts=250, **BASE3)
+    state = init_particles(cfg, seed=42, method="fast")
+    engine = get_engine("pallas3d", cfg)
+    slab = engine.init_carry(state).slab
+
+    def run(emit_speed):
+        return jax.jit(lambda s: grid3_step_pallas(
+            s.xl, s.yl, s.zl, s.vx, s.vy, s.vz, engine.geom,
+            cfg.cutoff, cfg.min_r, cfg.mass, cfg.dt, cfg.size,
+            interpret=True, emit_speed=emit_speed))(slab)
+
+    *with_state, speed2 = run(True)
+    *without_state, none_speed = run(False)
+    assert none_speed is None
+    for a, b in zip(with_state, without_state):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    nvx, nvy, nvz = without_state[3:6]
+    fallback = jnp.sqrt((nvx * nvx + nvy * nvy + nvz * nvz).max())
+    # 1 ulp: XLA may fuse the vx^2+vy^2+vz^2 reduction with FMA; the
+    # monitor only feeds the stale-slack inequality.
+    np.testing.assert_allclose(np.asarray(jnp.sqrt(speed2.max())),
+                               np.asarray(fallback), rtol=1e-6)
+
+
 def _aniso_geom(cfg, ys=5, xs=8, zs=4, capacity=8):
     """A hand-built anisotropic (lane-snapped-style) geometry covering the
     domain: per-axis bin sides differ, like Geometry3S.for_config's snapped
