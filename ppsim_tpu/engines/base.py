@@ -230,6 +230,25 @@ class Engine:
             self._frame_jit = jax.jit(self.frame_of)
         return self._frame_jit
 
+    @staticmethod
+    def saved_segment_schedule(nsteps: int, savefreq: int,
+                               max_seg: int = None):
+        """``[(length, capture_after), ...]`` covering ``nsteps`` steps,
+        with a frame captured after global steps 1, 1+savefreq, ... (the
+        reference cadence: step, then save when step % savefreq == 0 —
+        part1/main.cpp:127-137); segments are additionally cut at
+        ``max_seg`` steps when given (relayed TPUs kill ~minute-long
+        single executions)."""
+        if not max_seg:
+            max_seg = nsteps
+        segs, done = [], 0
+        while done < nsteps:
+            nxt = 1 if done < 1 else 1 + ((done - 1) // savefreq + 1) * savefreq
+            end = min(done + max_seg, nxt if nxt <= nsteps else nsteps)
+            segs.append((end - done, end == nxt))
+            done = end
+        return segs
+
     def _run_impl(self, carry, *, nsteps: int, savefreq: int):
         def plain(c, _):
             return self.step_carry(c), None
@@ -296,25 +315,26 @@ class Engine:
             frame_bytes = self.config.num_parts * self.config.ndim * 4
             total_frames = max(1, nsteps // savefreq)
             if total_frames * frame_bytes > max_device_frame_bytes:
-                quantum = max(1, self._chunk_quantum(savefreq))
-                per_chunk = max(1, max_device_frame_bytes // frame_bytes)
-                chunk = max(quantum, (per_chunk * savefreq) // quantum * quantum)
-                prog = self._program(chunk, savefreq)
+                # Segment programs + host-side frame extraction: the
+                # compiled programs are UNSAVED (in-program frame capture
+                # adds the frame-gather temporaries and the frame stack on
+                # top of step-program peak HBM — it OOMed at 2D n=20.97M),
+                # and each frame is pulled from the carry between programs
+                # at the reference cadence. Same step sequence and frames
+                # as the monolithic saved program (tested bit-identical).
+                frame_jit = self._frame_program()
                 frames_host = []
                 done = 0
-                while done + chunk <= nsteps:
-                    carry, frames = prog(carry)
-                    frames_host.append(np.asarray(frames))
-                    done += chunk
-                if done < nsteps:
-                    carry, frames = self._program(nsteps - done, savefreq)(carry)
-                    if frames is not None:
-                        frames_host.append(np.asarray(frames))
+                for length, capture in self.saved_segment_schedule(
+                        nsteps, savefreq):
+                    carry = self._segment_program(
+                        length, self._segment_phase(done))(carry)
+                    done += length
+                    if capture:
+                        frames_host.append(np.asarray(frame_jit(carry)))
                 final = jax.block_until_ready(self.final_state_jit(carry))
                 monitors = jax.tree.map(np.asarray, self.monitors_of(carry))
-                return RunResult(
-                    final, np.concatenate(frames_host), monitors
-                )
+                return RunResult(final, np.stack(frames_host), monitors)
 
         carry, frames = self._program(nsteps, savefreq)(carry)
         final = jax.block_until_ready(self.final_state_jit(carry))

@@ -194,21 +194,6 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
     return RunResult(final, frames_np, monitors), times
 
 
-def _saved_segment_schedule(nsteps: int, savefreq: int, max_seg: int):
-    """``[(length, capture_after), ...]`` covering ``nsteps`` steps, with a
-    frame captured after global steps 1, 1+savefreq, ... (the reference
-    cadence: step, then save when step %% savefreq == 0 —
-    part1/main.cpp:127-137); every segment is at most ``max_seg`` steps
-    (the relayed TPU kills single executions running ~a minute+)."""
-    segs, done = [], 0
-    while done < nsteps:
-        nxt = 1 if done < 1 else 1 + ((done - 1) // savefreq + 1) * savefreq
-        end = min(done + max_seg, nxt if nxt <= nsteps else nsteps)
-        segs.append((end - done, end == nxt))
-        done = end
-    return segs
-
-
 def _timed_run_segments(engine, state: ParticleState, nsteps: int,
                         savefreq: int, repeats: int, max_seg: int):
     """Chunked SAVED runs: each compiled program is an UNSAVED segment
@@ -219,7 +204,7 @@ def _timed_run_segments(engine, state: ParticleState, nsteps: int,
     (same step schedule, same frame states; tested). The synchronous frame
     pulls inside the timer are the cost the reference's ``-o`` runs pay too
     (saves happen inside its timed loop, part1/main.cpp:132-137)."""
-    schedule = _saved_segment_schedule(nsteps, savefreq, max_seg)
+    schedule = engine.saved_segment_schedule(nsteps, savefreq, max_seg)
     state = jax.device_put(state)
     keys, progs = [], {}
     done = 0
@@ -229,6 +214,18 @@ def _timed_run_segments(engine, state: ParticleState, nsteps: int,
         if key not in progs:
             progs[key] = engine._segment_program(ln, key[1])
         done += ln
+    if len(progs) > 8:
+        import warnings
+
+        warnings.warn(
+            f"saved chunked run compiles {len(progs)} distinct "
+            f"(segment-length, cadence-phase) programs (chunk_steps="
+            f"{max_seg}, savefreq={savefreq}, rebin cadence "
+            f"{getattr(engine, 'rebin_every', 1)}): each is a separate "
+            "(remote) compile. Align chunk_steps with savefreq — e.g. a "
+            "multiple of it — to reuse a handful of programs.",
+            stacklevel=3,
+        )
     frame_jit = engine._frame_program()
     probe = jax.jit(lambda st: st.pos.ravel()[0])
     # Warm every distinct program once, chained (segment programs donate
