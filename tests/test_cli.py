@@ -197,6 +197,27 @@ def test_timed_run_chunked_saved_matches_monolithic(grid_test_config):
                                       np.asarray(chunked.state.pos))
 
 
+def test_saved_segment_schedule_invariants():
+    """Pure-function contract of the saved-chunk schedule: covers nsteps,
+    captures land exactly after global steps 1, 1+savefreq, ... (the
+    reference cadence), every segment respects max_seg."""
+    from ppsim_tpu.engines.base import Engine
+
+    for nsteps, savefreq, max_seg in [(1000, 100, 200), (1000, 100, 64),
+                                      (16, 2, 3), (80, 10, 24), (7, 10, 100),
+                                      (1000, 7, 1000)]:
+        segs = Engine.saved_segment_schedule(nsteps, savefreq, max_seg)
+        assert sum(ln for ln, _ in segs) == nsteps
+        assert all(1 <= ln <= max_seg for ln, _ in segs)
+        done, captures = 0, []
+        for ln, cap in segs:
+            done += ln
+            if cap:
+                captures.append(done)
+        expected = [s for s in range(1, nsteps + 1, savefreq)]
+        assert captures == expected, (nsteps, savefreq, max_seg, captures)
+
+
 def test_readme_lists_every_registered_engine():
     """README's engine table must track the registry (docs drifted when
     engines were added in rounds 1 AND 2; help text is already pinned by
