@@ -24,7 +24,7 @@ def load(path):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("results", nargs="?", default="bench/results.jsonl")
+    ap.add_argument("results", nargs="?", default="bench/results_tpu.jsonl")
     ap.add_argument("--outdir", default="bench")
     args = ap.parse_args(argv)
 
@@ -36,10 +36,18 @@ def main(argv=None) -> int:
     records = load(args.results)
 
     # ---- size sweep ------------------------------------------------------
-    by_engine = collections.defaultdict(list)
+    # Skip A/B ablation rows and dedup re-measured sizes to the best run
+    # (the tables report best-of-N; newer rows re-measure the same n).
+    best = {}
     for r in records:
-        if r.get("num_devices", 1) == 1:
-            by_engine[r["engine"]].append((r["num_parts"], r["seconds"]))
+        if "ab" in r or "failed" in r or r.get("num_devices", 1) != 1:
+            continue
+        key = (r["engine"], r["num_parts"])
+        if key not in best or r["seconds"] < best[key]["seconds"]:
+            best[key] = r
+    by_engine = collections.defaultdict(list)
+    for (eng, n), r in best.items():
+        by_engine[eng].append((n, r["seconds"]))
     if by_engine:
         fig, ax = plt.subplots(figsize=(6, 4.5))
         for eng, pts in sorted(by_engine.items()):
@@ -66,11 +74,20 @@ def main(argv=None) -> int:
         weak[r["num_parts"] // max(1, r["num_devices"])].append(
             (r["num_devices"], r["seconds"])
         )
+    def dedup(pts):
+        """One point per device count (best seconds): a file mixing strong
+        and weak sweeps can contribute two rows at the same (group, P)."""
+        best_p = {}
+        for p, s in pts:
+            if p not in best_p or s < best_p[p]:
+                best_p[p] = s
+        return sorted(best_p.items())
+
     for label, data, fname, ylab in (
         ("strong", strong, "strong-scale.png", "seconds"),
         ("weak", weak, "weak-scale.png", "seconds"),
     ):
-        groups = {k: sorted(v) for k, v in data.items() if len(v) > 1}
+        groups = {k: dedup(v) for k, v in data.items() if len(dedup(v)) > 1}
         if not groups:
             continue
         fig, ax = plt.subplots(figsize=(6, 4.5))
