@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("results", nargs="?", default="bench/results_tpu.jsonl")
     ap.add_argument("--outdir", default="bench")
+    ap.add_argument("--prefix", default="",
+                    help="filename prefix, e.g. '3d-' -> bench/3d-linear.png "
+                         "(keeps the 2D and 3D figure sets apart)")
     args = ap.parse_args(argv)
 
     import matplotlib
@@ -42,7 +45,12 @@ def main(argv=None) -> int:
     for r in records:
         if "ab" in r or "failed" in r or r.get("num_devices", 1) != 1:
             continue
-        key = (r["engine"], r["num_parts"])
+        # A non-default force law is its own series (a file can mix the
+        # repulsive sweep with lj rows, e.g. results_tpu3d.jsonl).
+        series = r["engine"]
+        if r.get("force_law", "repulsive") != "repulsive":
+            series += f"[{r['force_law']}]"
+        key = (series, r["num_parts"])
         if key not in best or r["seconds"] < best[key]["seconds"]:
             best[key] = r
     by_engine = collections.defaultdict(list)
@@ -62,7 +70,7 @@ def main(argv=None) -> int:
         ax.set_title("time vs problem size")
         ax.legend()
         fig.tight_layout()
-        fig.savefig(f"{args.outdir}/linear.png", dpi=120)
+        fig.savefig(f"{args.outdir}/{args.prefix}linear.png", dpi=120)
 
     # ---- device scaling --------------------------------------------------
     sharded = [r for r in records if r.get("num_devices", 1) > 1
@@ -99,7 +107,7 @@ def main(argv=None) -> int:
         ax.set_title(f"{label} scaling")
         ax.legend()
         fig.tight_layout()
-        fig.savefig(f"{args.outdir}/{fname}", dpi=120)
+        fig.savefig(f"{args.outdir}/{args.prefix}{fname}", dpi=120)
 
     print("plots written to", args.outdir)
     return 0

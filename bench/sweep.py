@@ -29,6 +29,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _snap_chunk(chunk, nsteps: int, quantum: int):
+    """Snap a requested unsaved chunk length to the nearest valid one (a
+    multiple of the engine's rebin cadence that divides nsteps) — the
+    cadence depends on geometry auto-tuning, so a fixed --chunk-steps can
+    be invalid for one size in a sweep; dying mid-sweep loses the stage."""
+    if not chunk or (nsteps % chunk == 0 and chunk % quantum == 0):
+        return chunk
+    valid = [c for c in range(quantum, nsteps + 1, quantum)
+             if nsteps % c == 0]
+    if not valid:
+        return None
+    snapped = max([c for c in valid if c <= chunk], default=valid[0])
+    print(f"# chunk_steps={chunk} invalid for cadence {quantum} / "
+          f"nsteps={nsteps}; snapped to {snapped}", flush=True)
+    return snapped
+
+
 def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
             repeats: int = 1, config_kw=None, impl: str = None,
             chunk_steps: int = None):
@@ -41,16 +58,19 @@ def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
 
     config = SimConfig(num_parts=n, **(config_kw or {}))
     state = init_particles(config, seed=seed, method="fast")
-    sharded_names = ("sharded", "sharded_grid", "sharded_grid3d")
+    sharded_names = ("sharded", "sharded_grid", "sharded_grid3d",
+                     "sharded_tile")
     if devices is not None and engine_name in sharded_names:
         from ppsim_tpu.engines.sharded import ShardedEngine
         from ppsim_tpu.engines.sharded_grid import ShardedGridEngine
         from ppsim_tpu.engines.sharded_grid3d import ShardedGrid3DEngine
+        from ppsim_tpu.engines.sharded_tile import ShardedTileEngine
 
         cls = {
             "sharded": ShardedEngine,
             "sharded_grid": ShardedGridEngine,
             "sharded_grid3d": ShardedGrid3DEngine,
+            "sharded_tile": ShardedTileEngine,
         }[engine_name]
         kw = {}
         if engine_name in ("sharded_grid", "sharded_grid3d"):
@@ -61,6 +81,8 @@ def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
         engine = cls(config, devices=jax.devices()[:devices], **kw)
     else:
         engine = get_engine(engine_name, config)
+    chunk_steps = _snap_chunk(chunk_steps, steps,
+                              getattr(engine, "rebin_every", 1))
     result, times = timed_run_repeats(engine, state, steps, 0, repeats=repeats,
                                       chunk_steps=chunk_steps)
     engine.check(result)

@@ -325,13 +325,21 @@ class Engine:
                 frame_jit = self._frame_program()
                 frames_host = []
                 done = 0
+                pending = None  # pull the previous frame AFTER dispatching
+                # the next segment: the device->host transfer then overlaps
+                # device execution (see harness._timed_run_segments).
                 for length, capture in self.saved_segment_schedule(
                         nsteps, savefreq):
                     carry = self._segment_program(
                         length, self._segment_phase(done))(carry)
                     done += length
+                    if pending is not None:
+                        frames_host.append(np.asarray(pending))
+                        pending = None
                     if capture:
-                        frames_host.append(np.asarray(frame_jit(carry)))
+                        pending = frame_jit(carry)
+                if pending is not None:
+                    frames_host.append(np.asarray(pending))
                 final = jax.block_until_ready(self.final_state_jit(carry))
                 monitors = jax.tree.map(np.asarray, self.monitors_of(carry))
                 return RunResult(final, np.stack(frames_host), monitors)

@@ -242,10 +242,19 @@ def _timed_run_segments(engine, state: ParticleState, nsteps: int,
         t0 = time.perf_counter()
         carry = engine.init_carry(state)
         frames = []
+        pending = None  # frame still on device: pull AFTER dispatching the
+        # next segment, so the ~40 MB/s tunnel transfer overlaps the
+        # device's execution instead of idling it (same stream: the device
+        # runs frame_jit then the next segment in order regardless).
         for (ln, cap), key in zip(schedule, keys):
             carry = progs[key](carry)
+            if pending is not None:
+                frames.append(np.asarray(pending))
+                pending = None
             if cap:
-                frames.append(np.asarray(frame_jit(carry)))
+                pending = frame_jit(carry)
+        if pending is not None:
+            frames.append(np.asarray(pending))
         final = engine.final_state_jit(carry)
         np.asarray(probe(final))
         times.append(time.perf_counter() - t0)
