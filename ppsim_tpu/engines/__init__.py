@@ -18,6 +18,9 @@ Here the seam is :class:`ppsim_tpu.engines.base.Engine`; backends:
   (reference: part2/mpi.cpp, closest structural analog)
 - ``sharded_grid`` — the flagship multi-chip path: slab-grid Mosaic kernels
   per shard, row-strip sharding, ghost-row halo + count-plane migration
+- ``sharded_tile`` — 2-D tile-mesh decomposition (rows x cols, corner-aware
+  two-round halo): surface-to-volume comm scaling for pod-size meshes,
+  XLA-twin ops per tile
 - ``binned3d`` — 3D cell-list engine (3x3x3 stencil, rebuild-per-step
   neighbor candidates); the stretch-config dimension (ndim=3, either law)
 - ``grid3d`` / ``pallas3d`` — 3D dense slab-grid engines ((cap, Y, X, Z)
@@ -37,6 +40,7 @@ from ppsim_tpu.engines import binned as _binned  # noqa: F401
 from ppsim_tpu.engines import sharded as _sharded  # noqa: F401
 from ppsim_tpu.engines import grid as _grid  # noqa: F401
 from ppsim_tpu.engines import sharded_grid as _sharded_grid  # noqa: F401
+from ppsim_tpu.engines import sharded_tile as _sharded_tile  # noqa: F401
 from ppsim_tpu.engines import binned3d as _binned3d  # noqa: F401
 from ppsim_tpu.engines import grid3d as _grid3d  # noqa: F401
 from ppsim_tpu.engines import sharded_grid3d as _sharded_grid3d  # noqa: F401

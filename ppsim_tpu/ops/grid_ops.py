@@ -225,13 +225,15 @@ def grid_force_xla(xl, yl, geom: SlabGeometry, cutoff, min_r, mass, pair_fn=None
 
 
 # -------------------------------------------------------------------- move
-def grid_move(state: SlabState, accel, geom: SlabGeometry, dt, size, row0=0):
+def grid_move(state: SlabState, accel, geom: SlabGeometry, dt, size, row0=0,
+              col0=0):
     """Verlet + wall reflection on the slab grid (reference: serial.cpp:44-61).
 
     Empty slots are inert. Reflection reconstructs the global coordinate only
     for out-of-box slots, so in-box particles keep exact bin-local positions.
-    ``row0`` is the global row index of the array's first row (sharded strips
-    pass their offset). Returns (new_state, max_speed_scalar).
+    ``row0``/``col0`` are the global row/col indexes of the array's first
+    row/col (sharded strips pass row0; 2-D tile shards pass both). Returns
+    (new_state, max_speed_scalar).
     """
     ax, ay = accel
     alive = state.pid >= 0
@@ -247,7 +249,9 @@ def grid_move(state: SlabState, accel, geom: SlabGeometry, dt, size, row0=0):
     row_off = (
         row0 + jax.lax.broadcasted_iota(jnp.int32, xl.shape, 1)
     ).astype(jnp.float32) * bs
-    col_off = jax.lax.broadcasted_iota(jnp.int32, xl.shape, 2).astype(jnp.float32) * bs
+    col_off = (
+        col0 + jax.lax.broadcasted_iota(jnp.int32, xl.shape, 2)
+    ).astype(jnp.float32) * bs
 
     def reflect(local, off, v):
         g = local + off
@@ -269,11 +273,11 @@ def grid_move(state: SlabState, accel, geom: SlabGeometry, dt, size, row0=0):
 
 
 # ------------------------------------------------------------------- rebin
-def slab_dirs(state: SlabState, geom: SlabGeometry, row0=0):
+def slab_dirs(state: SlabState, geom: SlabGeometry, row0=0, col0=0):
     """Per-slot movement direction (clamped to one hop and to the physical
-    grid) plus the far-move flag. Empty slots get direction 0. ``row0`` is
-    the global row index of the array's first row (sharded shards pass
-    their strip offset)."""
+    grid) plus the far-move flag. Empty slots get direction 0. ``row0`` /
+    ``col0`` are the global row/col indexes of the array's first row/col
+    (sharded shards pass their strip/tile offset)."""
     inv_bs = jnp.float32(1.0 / geom.bin_size)
     alive = state.pid >= 0
     dirx_raw = jnp.floor(state.xl * inv_bs).astype(jnp.int32)
@@ -287,7 +291,7 @@ def slab_dirs(state: SlabState, geom: SlabGeometry, row0=0):
     # point at a nonexistent row): clamp at boundary rows/cols — the
     # particle stays binned at the edge, within slack.
     row = row0 + jax.lax.broadcasted_iota(jnp.int32, dirx.shape, 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, diry.shape, 2)
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, diry.shape, 2)
     dirx = jnp.clip(dirx, -jnp.minimum(row, 1), jnp.minimum(geom.rows - 1 - row, 1))
     diry = jnp.clip(diry, -jnp.minimum(col, 1), jnp.minimum(geom.cols - 1 - col, 1))
     # Padded rows/cols beyond the physical grid see inverted clip bounds;
@@ -297,10 +301,10 @@ def slab_dirs(state: SlabState, geom: SlabGeometry, row0=0):
     return dirx, diry, far, alive
 
 
-def rebin_counts(state: SlabState, geom: SlabGeometry, row0=0):
+def rebin_counts(state: SlabState, geom: SlabGeometry, row0=0, col0=0):
     """(9, R, C) float32 count planes: slot [d] = leavers toward DIRS[d];
     slot [4] (the stay direction) = total alive count A."""
-    dirx, diry, far, alive = slab_dirs(state, geom, row0=row0)
+    dirx, diry, far, alive = slab_dirs(state, geom, row0=row0, col0=col0)
     planes = []
     for d, (dr, dc) in enumerate(DIRS):
         if (dr, dc) == (0, 0):
@@ -311,7 +315,8 @@ def rebin_counts(state: SlabState, geom: SlabGeometry, row0=0):
     return jnp.stack(planes), far
 
 
-def grid_rebin(state: SlabState, geom: SlabGeometry, evac_cap: int, row0=0):
+def grid_rebin(state: SlabState, geom: SlabGeometry, evac_cap: int, row0=0,
+               col0=0):
     """Loss-free 9-direction dense shuffle (XLA twin of the Mosaic kernel).
 
     Lock-free analog of the reference's bin migration (serial.cpp:63-70
@@ -329,8 +334,8 @@ def grid_rebin(state: SlabState, geom: SlabGeometry, evac_cap: int, row0=0):
     """
     cap = geom.capacity
     bs = jnp.float32(geom.bin_size)
-    counts, far = rebin_counts(state, geom, row0=row0)
-    dirx, diry, _, alive = slab_dirs(state, geom, row0=row0)
+    counts, far = rebin_counts(state, geom, row0=row0, col0=col0)
+    dirx, diry, _, alive = slab_dirs(state, geom, row0=row0, col0=col0)
     dcode = (dirx + 1) * 3 + (diry + 1)
     F = jnp.float32(cap) - counts[4]  # pre-rebin empty slots per bin
 
@@ -439,7 +444,7 @@ def grid_rebin(state: SlabState, geom: SlabGeometry, evac_cap: int, row0=0):
 
 # -------------------------------------------------- axis-factorized rebin
 def _axis_pass2(state: SlabState, geom: SlabGeometry, evac_cap: int,
-                axis: int, row0=0):
+                axis: int, row0=0, col0=0):
     """One 1-D rebin pass: move leavers one hop along ``axis`` (0 = rows/x,
     1 = cols/y) under the loss-free acceptance contract. Returns
     (state, deferred).
@@ -455,7 +460,7 @@ def _axis_pass2(state: SlabState, geom: SlabGeometry, evac_cap: int,
     """
     cap = geom.capacity
     bs = jnp.float32(geom.bin_size)
-    dirx, diry, _, alive = slab_dirs(state, geom, row0=row0)
+    dirx, diry, _, alive = slab_dirs(state, geom, row0=row0, col0=col0)
     adir = (dirx, diry)[axis]
 
     def shift(f, d, fill):
@@ -526,7 +531,7 @@ def _axis_pass2(state: SlabState, geom: SlabGeometry, evac_cap: int,
 
 
 def grid_rebin_axes(state: SlabState, geom: SlabGeometry, evac_cap: int,
-                    row0=0):
+                    row0=0, col0=0):
     """Axis-factorized 2D rebin: rows (x) pass, then cols (y) pass.
 
     Same loss-free acceptance contract and monitors as :func:`grid_rebin`
@@ -541,14 +546,14 @@ def grid_rebin_axes(state: SlabState, geom: SlabGeometry, evac_cap: int,
     # Far movers must be detected pre-rebin: each axis pass clamps to one
     # hop, so a 2-bin drifter (a fatal stale-slack violation) would look
     # like a benign 1-bin mover afterwards.
-    _, _, far0, _ = slab_dirs(state, geom, row0=row0)
+    _, _, far0, _ = slab_dirs(state, geom, row0=row0, col0=col0)
 
-    st, _ = _axis_pass2(state, geom, evac_cap, 0, row0=row0)
-    st, _ = _axis_pass2(st, geom, evac_cap, 1, row0=row0)
+    st, _ = _axis_pass2(state, geom, evac_cap, 0, row0=row0, col0=col0)
+    st, _ = _axis_pass2(st, geom, evac_cap, 1, row0=row0, col0=col0)
     # deferred = residual movers after both passes (post-hoc, the same
     # definition the Mosaic rebin wrappers use — unlike the in-pass
     # rejection counts, this is well-defined across factorizations)
-    dx2, dy2, _, alive2 = slab_dirs(st, geom, row0=row0)
+    dx2, dy2, _, alive2 = slab_dirs(st, geom, row0=row0, col0=col0)
     deferred = (alive2 & ((dx2 != 0) | (dy2 != 0))).astype(jnp.int32).sum()
 
     occupancy_planes = (st.pid >= 0).astype(jnp.int32)
