@@ -48,7 +48,7 @@ def _snap_chunk(chunk, nsteps: int, quantum: int):
 
 def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
             repeats: int = 1, config_kw=None, impl: str = None,
-            chunk_steps: int = None):
+            chunk_steps: int = None, engine_kw=None):
     import jax
 
     from ppsim_tpu.config import SimConfig
@@ -72,7 +72,7 @@ def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
             "sharded_grid3d": ShardedGrid3DEngine,
             "sharded_tile": ShardedTileEngine,
         }[engine_name]
-        kw = {}
+        kw = dict(engine_kw or {})
         if engine_name in ("sharded_grid", "sharded_grid3d"):
             # On a CPU mesh the Mosaic kernels only run interpret-emulated
             # (~1000x off); the XLA-twin impl is the meaningful one there.
@@ -105,6 +105,8 @@ def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
         "host_cores": os.cpu_count(),
         "chunk_steps": chunk_steps,
         "config": dict(config_kw or {}),
+        "engine_kw": {k: list(v) if isinstance(v, tuple) else v
+                      for k, v in (engine_kw or {}).items()},
         "ts": time.time(),
     }
 
@@ -130,6 +132,14 @@ def main(argv=None) -> int:
     ap.add_argument("--impl", default=None,
                     help="sharded_grid impl: pallas | xla (default: pallas "
                          "on TPU, xla on a CPU mesh)")
+    ap.add_argument("--mesh-shape", default=None, metavar="RxC",
+                    help="sharded_tile device mesh, e.g. 4x2 (default: "
+                         "near-square factorization of the device count)")
+    ap.add_argument("--col-block", type=int, default=None,
+                    help="sharded_tile col-tile alignment quantum (default "
+                         "128 = the TPU lane width; CPU-mesh overhead "
+                         "captures want 8 so small grids split without "
+                         "lane-padding tax)")
     ap.add_argument("--grid-bin-scale", type=float, default=None)
     ap.add_argument("--grid-capacity", type=int, default=None)
     ap.add_argument("--rebin-every", type=int, default=None)
@@ -186,19 +196,36 @@ def main(argv=None) -> int:
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    def tile_kw(d: int):
+        """sharded_tile constructor knobs; mesh-shape applies to the device
+        count it factors (other counts fall back to the default near-square
+        factorization so one sweep can cover 1,2,4,8)."""
+        if args.engine != "sharded_tile":
+            return None
+        kw = {}
+        if args.col_block is not None:
+            kw["col_block"] = args.col_block
+        if args.mesh_shape:
+            pr, pc = (int(v) for v in args.mesh_shape.lower().split("x"))
+            if pr * pc == d:
+                kw["mesh_shape"] = (pr, pc)
+        return kw
+
     sharded_default = "sharded_grid3d" if args.ndim == 3 else "sharded_grid"
     if args.strong:
         engine = args.engine or sharded_default
         for d in dev_counts:
             emit(run_one(engine, args.strong, args.steps, devices=d,
                          repeats=args.repeats, config_kw=config_kw,
-                         impl=args.impl, chunk_steps=args.chunk_steps))
+                         impl=args.impl, chunk_steps=args.chunk_steps,
+                         engine_kw=tile_kw(d)))
     elif args.weak:
         engine = args.engine or sharded_default
         for d in dev_counts:
             emit(run_one(engine, args.weak * d, args.steps, devices=d,
                          repeats=args.repeats, config_kw=config_kw,
-                         impl=args.impl, chunk_steps=args.chunk_steps))
+                         impl=args.impl, chunk_steps=args.chunk_steps,
+                         engine_kw=tile_kw(d)))
     else:
         engine = args.engine or ("pallas3d" if args.ndim == 3 else "pallas")
         if args.sizes:
