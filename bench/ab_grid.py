@@ -39,8 +39,11 @@ def run_variant(args, scale: float, cap: int, rebin: int):
 
     bumped = 0
     while True:
+        # snap OFF: an A/B variant's scale/cap must mean exactly what the
+        # spec says (the snap chooser would second-guess the geometry).
         config = SimConfig(num_parts=args.n, grid_bin_scale=scale,
-                           grid_capacity=cap, rebin_every=rebin)
+                           grid_capacity=cap, rebin_every=rebin,
+                           grid_snap_lanes=False)
         state = init_particles(config, seed=42, method="fast")
         engine = get_engine(args.engine, config)
         try:

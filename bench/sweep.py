@@ -146,6 +146,10 @@ def main(argv=None) -> int:
     ap.add_argument("--grid-rebin-mode", default=None,
                     choices=("dirs9", "axes"),
                     help="2D rebin algorithm (A/B axis)")
+    ap.add_argument("--grid-snap-lanes", type=int, default=None,
+                    choices=(0, 1),
+                    help="2D lane-exact geometry snap (A/B axis; see "
+                         "SlabGeometry.for_config)")
     # Stretch-config axes (BASELINE.json configs[4] is ndim=3 + lj): every
     # published row must be regenerable from a committed command line
     # (reference discipline: part3/benchmark-gpu:8-12).
@@ -177,6 +181,8 @@ def main(argv=None) -> int:
             ("grid_capacity", args.grid_capacity),
             ("rebin_every", args.rebin_every),
             ("grid_rebin_mode", args.grid_rebin_mode),
+            ("grid_snap_lanes",
+             None if args.grid_snap_lanes is None else bool(args.grid_snap_lanes)),
             ("density", args.density),
             ("force_law", args.force_law),
             ("dt", args.dt),

@@ -136,6 +136,15 @@ class SimConfig:
     # agree to f32 summation order. A one-process TPU A/B at n=20.97M
     # measured axes 1.069x faster (bench/results_tpu.jsonl, ab rows).
     grid_rebin_mode: str = "axes"
+    # Snap the 2D grid to lane-exact geometry: consider bin counts on
+    # multiples of 128 (the TPU lane tile) near the default, with bin size
+    # size/m (exact cover -> zero padded lanes) and capacity following
+    # occupancy; a cost model fitted to recorded TPU ablations picks the
+    # winner (SlabGeometry.for_config, ops/grid_ops.py — the 2D analog of
+    # grid3_snap_lanes). Grids narrower than one lane tile (all tests)
+    # always keep the default geometry, as does an exactly-aligned default
+    # (the 20.97M headline grid is 2048^2).
+    grid_snap_lanes: bool = False
 
     # ---- derived geometry ----
     @property

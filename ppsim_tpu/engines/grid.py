@@ -54,12 +54,39 @@ class GridEngine(Engine):
 
     @property
     def capacity(self) -> int:
-        return self.config.grid_capacity
+        # The CHOSEN geometry's capacity: with grid_snap_lanes it can differ
+        # from config.grid_capacity (it follows the snapped occupancy).
+        return self.geom.capacity
 
     @property
     def rebin_every(self) -> int:
         """Rebin cadence the run driver schedules (3D engines override)."""
         return self.config.rebin_every
+
+    def check(self, result) -> None:
+        """Geometry-aware monitors gate: capacity and stale-bin slack come
+        from the chosen geometry, which under ``grid_snap_lanes`` differs
+        from the config-derived values RunResult.check would use (same
+        pattern as Grid3DEngine.check)."""
+        cfg = self.config
+        mx = int(result.monitors.max_bin_count)
+        if mx > self.capacity:
+            raise RuntimeError(
+                f"bin overflow: max occupancy {mx} > capacity {self.capacity}"
+            )
+        if int(result.monitors.migrate_dropped):
+            raise RuntimeError(
+                f"{int(result.monitors.migrate_dropped)} particles dropped; "
+                "increase evac_capacity / migrate_capacity"
+            )
+        drift = self.rebin_every * float(result.monitors.max_speed) * cfg.dt
+        slack = (self.geom.bin_size - cfg.cutoff) / 2.0
+        if drift > slack:
+            raise RuntimeError(
+                f"stale-bin slack violated: rebin_every*max|v|*dt = "
+                f"{drift:.4g} > slack {slack:.4g}; lower rebin_every or "
+                "raise grid_bin_scale"
+            )
 
     def _chunk_quantum(self, savefreq: int) -> int:
         # Chunk boundaries must preserve both the save and rebin phases.
@@ -100,8 +127,8 @@ class GridEngine(Engine):
         slab, overflow = self._pack_jit()(state.pos, state.vel)
         if int(overflow):
             raise RuntimeError(
-                f"initial bin occupancy exceeds grid_capacity "
-                f"{self.config.grid_capacity} by {int(overflow)}; raise grid_capacity"
+                f"initial bin occupancy exceeds capacity "
+                f"{self.capacity} by {int(overflow)}; raise grid_capacity"
             )
         return GridCarry(slab, jnp.zeros((), jnp.int32), Monitors.zeros())
 

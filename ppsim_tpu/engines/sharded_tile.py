@@ -226,8 +226,8 @@ class ShardedTileEngine(ShardedGridEngine):
         slab, overflow = self._pack_jit()(state.pos, state.vel)
         if int(overflow):
             raise RuntimeError(
-                f"initial bin occupancy exceeds grid_capacity "
-                f"{self.config.grid_capacity} by {int(overflow)}"
+                f"initial bin occupancy exceeds capacity "
+                f"{self.capacity} by {int(overflow)}"
             )
         sh = NamedSharding(self.mesh, P(None, "x", "y"))
         slab = SlabState(*(jax.device_put(f, sh) for f in slab))

@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid-rebin-mode", default=None, choices=("dirs9", "axes"),
                    help="2D grid engines: rebin algorithm (dirs9 = 9-direction "
                         "shuffle, axes = axis-factorized rows+cols passes)")
+    p.add_argument("--grid-snap-lanes", type=int, default=None, choices=(0, 1),
+                   help="2D grid engines: snap the grid to a lane-exact bin "
+                        "count via the fitted geometry cost model (capacity "
+                        "follows occupancy; see SlabGeometry.for_config)")
     p.add_argument("--grid3-bin-scale", type=float, default=None,
                    help="3D grid engines: bin side / cutoff (explicit 3D form)")
     p.add_argument("--grid3-capacity", type=int, default=None,
@@ -305,6 +309,8 @@ def config_from_args(args) -> SimConfig:
     }
     if getattr(args, "grid_rebin_mode", None) is not None:
         grid_kw["grid_rebin_mode"] = args.grid_rebin_mode
+    if getattr(args, "grid_snap_lanes", None) is not None:
+        grid_kw["grid_snap_lanes"] = bool(args.grid_snap_lanes)
     if args.density is not None:
         grid_kw["density"] = args.density
     if getattr(args, "dt", None) is not None:

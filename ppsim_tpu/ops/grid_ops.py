@@ -58,6 +58,21 @@ __all__ = [
 # Direction codes: d = (dr+1)*3 + (dc+1); 4 = stay.
 DIRS = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
 
+# Fitted geometry cost model (regenerate: ``python bench/geom_fit.py`` —
+# least squares over the ``"ab": "grid_geometry"`` rows in
+# bench/results_tpu.jsonl, one-process TPU A/Bs at n=4.2M/20.97M, residuals
+# <= 3%). ns per particle-step ~ A*planes(cap)/occ*pad + B*cap/occ*pad
+# + per-size intercept; the intercept never matters because for_config only
+# compares candidates at one problem size.
+_GEOM_COST_A = 0.005645  # VPU pair-plane lane work
+_GEOM_COST_B = 0.183312  # plane HBM traffic + capacity-proportional overheads
+# Assumed max |v| for the snap feasibility gate (measured 3.3-4.0 across all
+# recorded runs); RunResult.check still gates on the MEASURED speed.
+_GEOM_VMAX = 4.0
+# Mean-occupancy band the fit covered (scales 3..8 at 4.2M); candidates
+# outside it would extrapolate the model, so they are rejected.
+_GEOM_OCC_RANGE = (3.0, 13.0)
+
 
 @dataclasses.dataclass(frozen=True)
 class SlabGeometry:
@@ -70,16 +85,66 @@ class SlabGeometry:
 
     @classmethod
     def for_config(cls, config, row_block: int = 8, lane: int = 128) -> "SlabGeometry":
-        r = config.grid_bins_per_side
-        c = config.grid_bins_per_side
-        return cls(
-            rows=r,
-            cols=c,
-            rows_pad=-(-r // row_block) * row_block,
-            cols_pad=-(-c // lane) * lane,
-            capacity=config.grid_capacity,
-            bin_size=config.grid_bin_size,
-        )
+        """Choose the slab geometry for ``config``.
+
+        The default grid is ``ceil(size / grid_bin_size)`` bins per side
+        with ``grid_capacity`` slots. With ``grid_snap_lanes`` (and a grid
+        wider than one lane tile) LANE-EXACT candidates are also scored:
+        bin counts on multiples of 128 near the default, bin size
+        ``size / m`` (exact cover — zero padded rows/cols, where the
+        default wastes up to ~12% of every vector lane at sizes like 1M
+        and 4.2M), and capacity following occupancy as ``ceil(occ) +
+        headroom`` with headroom = ``grid_capacity - ceil(occ_default)``
+        (both measured capacity sweet spots obey it: occ 5.0 -> cap 11,
+        occ 7.2 -> cap 14). Candidates that leave less than one rebin
+        cadence of stale-bin slack at the assumed vmax, or whose occupancy
+        leaves the fitted band, are rejected; the fitted cost model above
+        picks the winner. The 2D analog of ``Geometry3S.for_config``'s
+        lane snapping (grid3d_ops.py), using scale instead of anisotropy
+        because both 2D axes share one bin count.
+        """
+        bins0 = config.grid_bins_per_side
+        bs0 = config.grid_bin_size
+        cap0 = config.grid_capacity
+
+        def geom(m: int, bs: float, cap: int) -> "SlabGeometry":
+            return cls(
+                rows=m,
+                cols=m,
+                rows_pad=-(-m // row_block) * row_block,
+                cols_pad=-(-m // lane) * lane,
+                capacity=cap,
+                bin_size=bs,
+            )
+
+        default = geom(bins0, bs0, cap0)
+        if not (getattr(config, "grid_snap_lanes", False) and bins0 > lane):
+            return default
+
+        n = config.num_parts
+        headroom = cap0 - math.ceil(n / (bins0 * bins0))
+        # Slack feasibility: (bs - cutoff)/2 >= rebin_every * vmax * dt.
+        min_bs = config.cutoff + 2.0 * config.rebin_every * _GEOM_VMAX * config.dt
+
+        def cost(g: "SlabGeometry") -> float:
+            occ = n / (g.rows * g.cols)
+            pad = (g.rows_pad * g.cols_pad) / (g.rows * g.cols)
+            planes = g.capacity * (g.capacity - 1) / 2 + 4 * g.capacity**2
+            return (_GEOM_COST_A * planes + _GEOM_COST_B * g.capacity) / occ * pad
+
+        cands = [default]
+        for k in range(1, -(-bins0 // lane) + 1):
+            m = k * lane
+            if m == bins0:
+                continue  # identical cover to the default
+            bs = config.size / (m - 0.5)  # ceil(size / bs) == m, fp-robust
+            occ = n / (m * m)
+            cap = math.ceil(occ) + headroom
+            if (bs < min_bs or cap < math.ceil(occ) + 2
+                    or not _GEOM_OCC_RANGE[0] <= occ <= _GEOM_OCC_RANGE[1]):
+                continue
+            cands.append(geom(m, bs, cap))
+        return min(cands, key=cost)
 
     @property
     def shape(self):
