@@ -64,14 +64,28 @@ DIRS = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
 # <= 3%). ns per particle-step ~ A*planes(cap)/occ*pad + B*cap/occ*pad
 # + per-size intercept; the intercept never matters because for_config only
 # compares candidates at one problem size.
-_GEOM_COST_A = 0.005645  # VPU pair-plane lane work
-_GEOM_COST_B = 0.183312  # plane HBM traffic + capacity-proportional overheads
+_GEOM_COST_A = 0.005479  # VPU pair-plane lane work
+_GEOM_COST_B = 0.173282  # plane HBM traffic + capacity-proportional overheads
 # Assumed max |v| for the snap feasibility gate (measured 3.3-4.0 across all
 # recorded runs); RunResult.check still gates on the MEASURED speed.
 _GEOM_VMAX = 4.0
 # Mean-occupancy band the fit covered (scales 3..8 at 4.2M); candidates
 # outside it would extrapolate the model, so they are rejected.
 _GEOM_OCC_RANGE = (3.0, 13.0)
+# Deferral-pressure margin: a candidate must keep mean free slack
+# capacity - occ >= headroom + margin. Empirical cliff from the recorded
+# A/Bs (bench/results_tpu.jsonl "ab":"grid_geometry"): picks whose
+# occupancy landed near an integer (free slack headroom+0.00 at 16.38M,
+# +0.12 at 20.97M cap 15) suffered persistent rebin deferral in hot bins
+# until drift exceeded one bin ("dropped" far-movers); every pick with
+# slack >= headroom+0.43 ran drop-free. 0.4 keeps the validated 20.97M
+# winner (occ 7.57 -> cap 14) while bumping the two failing shapes.
+_GEOM_FREE_MARGIN = 0.4
+# Candidates whose predicted costs differ by less than the fit's residual
+# band are indistinguishable; break such ties toward the LOWEST capacity
+# (least rebin deferral pressure, least VMEM pressure — capacities >= 13
+# already force the speed-plane fallback, pallas_grid.SPEED_PLANE_CAP_MAX).
+_GEOM_TIE_EPS = 0.01
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,13 +107,14 @@ class SlabGeometry:
         bin counts on multiples of 128 near the default, bin size
         ``size / m`` (exact cover — zero padded rows/cols, where the
         default wastes up to ~12% of every vector lane at sizes like 1M
-        and 4.2M), and capacity following occupancy as ``ceil(occ) +
-        headroom`` with headroom = ``grid_capacity - ceil(occ_default)``
-        (both measured capacity sweet spots obey it: occ 5.0 -> cap 11,
-        occ 7.2 -> cap 14). Candidates that leave less than one rebin
-        cadence of stale-bin slack at the assumed vmax, or whose occupancy
-        leaves the fitted band, are rejected; the fitted cost model above
-        picks the winner. The 2D analog of ``Geometry3S.for_config``'s
+        and 4.2M), and capacity following occupancy as ``ceil(occ +
+        margin) + headroom`` with headroom = ``grid_capacity -
+        ceil(occ_default)`` (both measured capacity sweet spots obey it:
+        occ 5.0 -> cap 11, occ 7.2 -> cap 14) and margin the
+        deferral-pressure guard ``_GEOM_FREE_MARGIN``. Candidates that
+        leave less than one rebin cadence of stale-bin slack at the
+        assumed vmax, or whose occupancy leaves the fitted band, are
+        rejected; the fitted cost model above picks the winner. The 2D analog of ``Geometry3S.for_config``'s
         lane snapping (grid3d_ops.py), using scale instead of anisotropy
         because both 2D axes share one bin count.
         """
@@ -139,12 +154,14 @@ class SlabGeometry:
                 continue  # identical cover to the default
             bs = config.size / (m - 0.5)  # ceil(size / bs) == m, fp-robust
             occ = n / (m * m)
-            cap = math.ceil(occ) + headroom
+            cap = math.ceil(occ + _GEOM_FREE_MARGIN) + headroom
             if (bs < min_bs or cap < math.ceil(occ) + 2
                     or not _GEOM_OCC_RANGE[0] <= occ <= _GEOM_OCC_RANGE[1]):
                 continue
             cands.append(geom(m, bs, cap))
-        return min(cands, key=cost)
+        best = min(cost(g) for g in cands)
+        near = [g for g in cands if cost(g) <= best * (1.0 + _GEOM_TIE_EPS)]
+        return min(near, key=lambda g: (g.capacity, cost(g)))
 
     @property
     def shape(self):

@@ -22,26 +22,49 @@ def _cost(cfg, g):
     return (_GEOM_COST_A * planes + _GEOM_COST_B * g.capacity) / occ * pad
 
 
-@pytest.mark.parametrize("n", [1_048_576, 4_194_304, 20_971_520])
+@pytest.mark.parametrize("n", [1_048_576, 4_194_304, 16_384_000, 20_971_520])
 def test_snap_chooser_invariants(n):
+    from ppsim_tpu.ops.grid_ops import _GEOM_FREE_MARGIN
+
     cfg = SimConfig(num_parts=n, grid_snap_lanes=True)
     g = SlabGeometry.for_config(cfg)
     g0 = SlabGeometry.for_config(cfg.with_(grid_snap_lanes=False))
-    # Never worse than the default under the model, and physically sound.
-    assert _cost(cfg, g) <= _cost(cfg, g0) + 1e-12
+    # Never worse than the default under the model (within the tie-break
+    # epsilon), and physically sound.
+    assert _cost(cfg, g) <= _cost(cfg, g0) * 1.0101
     assert g.rows == g.cols
     if g.rows != g0.rows:  # a snapped candidate won
         assert g.rows % 128 == 0  # exact cover: zero padded rows/cols
         assert g.rows_pad == g.rows and g.cols_pad == g.cols
         occ = n / (g.rows * g.cols)
-        assert g.capacity == math.ceil(occ) + (
-            cfg.grid_capacity - math.ceil(n / (g0.rows * g0.cols))
-        )
+        headroom = cfg.grid_capacity - math.ceil(n / (g0.rows * g0.cols))
+        assert g.capacity == math.ceil(occ + _GEOM_FREE_MARGIN) + headroom
+        # Deferral-pressure guard: free slack strictly above the measured
+        # failure cliff (free == headroom dropped particles at 16.38M).
+        assert g.capacity - occ >= headroom + _GEOM_FREE_MARGIN
     # Slack feasibility at the assumed vmax (the gate for_config enforces).
     slack = (g.bin_size - cfg.cutoff) / 2.0
     assert cfg.rebin_every * _GEOM_VMAX * cfg.dt <= slack + 1e-12
     # The grid still covers the box.
     assert g.rows * g.bin_size >= cfg.size
+
+
+def test_snap_chooser_picks_are_the_validated_winners():
+    """Regression pin: the chooser must reproduce the A/B-validated picks
+    (bench/results_tpu.jsonl "ab":"grid_geometry" rows). In particular the
+    near-tie at 20.97M must break toward the measured cap-14 winner (927M
+    p-s/s, 0 dropped), not the model's 0.7%-cheaper cap-17 shape, and the
+    two shapes that DROPPED particles (16.38M 1280^2/cap16, 20.97M
+    1536^2/cap15) must never be chosen."""
+    expect = {
+        1_048_576: (384, 14),
+        4_194_304: (640, 17),
+        16_384_000: (1408, 15),
+        20_971_520: (1664, 14),
+    }
+    for n, (m, cap) in expect.items():
+        g = SlabGeometry.for_config(SimConfig(num_parts=n, grid_snap_lanes=True))
+        assert (g.rows, g.capacity) == (m, cap), (n, g.rows, g.capacity)
 
 
 def test_snap_noop_on_small_and_exact_grids():
