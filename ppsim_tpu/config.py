@@ -142,9 +142,12 @@ class SimConfig:
     # occupancy; a cost model fitted to recorded TPU ablations picks the
     # winner (SlabGeometry.for_config, ops/grid_ops.py — the 2D analog of
     # grid3_snap_lanes). Grids narrower than one lane tile (all tests)
-    # always keep the default geometry, as does an exactly-aligned default
-    # (the 20.97M headline grid is 2048^2).
-    grid_snap_lanes: bool = False
+    # always keep the default geometry. Default ON since the r3 A/Bs: the
+    # chooser's picks won at every recorded size (1M +4.1%, 4.2M +9.5%,
+    # 16.38M +3.2%, 20.97M +3.3% — bench/results_tpu.jsonl "ab" rows),
+    # drop-free under the deferral-pressure margin, checker-gated at 4.2M.
+    # `--grid-snap-lanes 0` restores the scale-derived geometry exactly.
+    grid_snap_lanes: bool = True
 
     # ---- derived geometry ----
     @property
