@@ -41,6 +41,19 @@ _TRANSIENT_MARKERS = ("UNAVAILABLE", "crashed or restarted", "DEADLINE_EXCEEDED"
                       "Socket closed", "failed to connect")
 
 
+def tuned_cadence_applies(args) -> bool:
+    """Whether the measured headline cadence (rebin_every=10) applies.
+
+    Only the exact validated regime: the 2D pallas flagship at >=1M
+    particles, no explicit cadence/chunking override, full (non-quick)
+    runs whose step count keeps whole rebin periods. Everything else runs
+    the config default. Unit-tested in tests/test_bench_logic.py."""
+    return (args.rebin_every is None and args.ndim == 2
+            and args.engine == "pallas" and args.chunk_steps is None
+            and not args.quick and args.n >= 1_000_000
+            and args.steps % 10 == 0)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", type=int, default=20_971_520)
@@ -122,10 +135,7 @@ def _measure(args) -> int:
         kw["ndim"] = args.ndim
         if args.engine == "pallas":
             args.engine = "pallas3d"
-    tuned_cadence = (args.rebin_every is None and args.ndim == 2
-                     and args.engine == "pallas" and args.chunk_steps is None
-                     and not args.quick and args.n >= 1_000_000
-                     and args.steps % 10 == 0)
+    tuned_cadence = tuned_cadence_applies(args)
     if tuned_cadence:
         kw["rebin_every"] = 10  # measured headline win; see --rebin-every
     config = SimConfig(num_parts=args.n, **kw)

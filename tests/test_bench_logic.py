@@ -1,0 +1,51 @@
+"""Pure-logic tests for bench.py (no engine runs, no device).
+
+bench.py is the driver-run headline benchmark; its tuned-cadence
+decision (rebin_every=10 only in the exact validated regime, with a
+monitor fallback) must never silently widen. Import by path — the repo
+root is not necessarily on sys.path under pytest."""
+
+import argparse
+import importlib.util
+import pathlib
+
+_spec = importlib.util.spec_from_file_location(
+    "bench_headline", pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def _args(**over):
+    base = dict(n=20_971_520, steps=1000, engine="pallas", repeats=3,
+                quick=False, ndim=2, density=None, force_law=None, dt=None,
+                grid3_capacity=None, rebin_every=None, chunk_steps=None)
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+def test_tuned_cadence_on_the_headline_config():
+    assert bench.tuned_cadence_applies(_args())
+
+
+def test_tuned_cadence_only_in_the_validated_regime():
+    # Any explicit cadence wins.
+    assert not bench.tuned_cadence_applies(_args(rebin_every=8))
+    assert not bench.tuned_cadence_applies(_args(rebin_every=10))
+    # 3D / non-flagship engines / quick smoke keep config defaults.
+    assert not bench.tuned_cadence_applies(_args(ndim=3))
+    assert not bench.tuned_cadence_applies(_args(engine="grid"))
+    assert not bench.tuned_cadence_applies(_args(quick=True))
+    # Chunked runs must stay cadence-aligned with the chunk length.
+    assert not bench.tuned_cadence_applies(_args(chunk_steps=200))
+    # Sub-1M sizes were never A/B'd at cadence 10.
+    assert not bench.tuned_cadence_applies(_args(n=262_144))
+    # Step counts with a partial rebin period keep the default.
+    assert not bench.tuned_cadence_applies(_args(steps=1004))
+
+
+def test_transient_retry_strips_explicit_retries_flag():
+    # The retry path re-invokes bench.py with --retries decremented; the
+    # marker list is what classifies a relay crash as transient.
+    assert "crashed or restarted" in bench._TRANSIENT_MARKERS
+    assert "UNAVAILABLE" in bench._TRANSIENT_MARKERS
