@@ -83,8 +83,10 @@ _GEOM_OCC_RANGE = (3.0, 13.0)
 _GEOM_FREE_MARGIN = 0.4
 # Candidates whose predicted costs differ by less than the fit's residual
 # band are indistinguishable; break such ties toward the LOWEST capacity
-# (least rebin deferral pressure, least VMEM pressure — capacities >= 13
-# already force the speed-plane fallback, pallas_grid.SPEED_PLANE_CAP_MAX).
+# (least rebin deferral pressure, least VMEM/register pressure — the 3D
+# kernel already had to shed its in-kernel speed plane at capacity >= 13,
+# pallas_grid3d.SPEED_PLANE_CAP_MAX; the 2D kernel holds at the measured
+# capacities but the pressure direction is the same).
 _GEOM_TIE_EPS = 0.01
 
 
