@@ -40,6 +40,49 @@ P100_PSTEPS_BEST = 16_384_000 * 1000 / 50.85  # 322.2M, part3 PDF Tables 1&3
 _TRANSIENT_MARKERS = ("UNAVAILABLE", "crashed or restarted", "DEADLINE_EXCEEDED",
                       "Socket closed", "failed to connect")
 
+_PROBE_CODE = (
+    "import jax, numpy as np\n"
+    "x = jax.jit(lambda a: a + 1)(np.ones(8, np.float32))\n"
+    "assert float(np.asarray(x)[0]) == 2.0\n"
+)
+
+
+def wait_for_device(tries: int = 5, probe_timeout: float = 120.0,
+                    sleep_s: float = 150.0, env=None) -> bool:
+    """Bounded wait for a usable accelerator before the timed measurement.
+
+    Relay outages (CLAUDE.md: hours-long windows with no device init at
+    all) make the FIRST device touch hang rather than raise, so the
+    in-process transient-retry path never fires — the whole benchmark
+    process just stalls. Probe in a disposable subprocess with a hard
+    timeout instead: a hung probe is killed and retried after a pause, and
+    after ``tries`` failures we proceed anyway (the main path then reports
+    whatever error the backend gives, same as before this guard). Returns
+    True when a probe round-tripped a computation on the device.
+    """
+    import subprocess
+    import time
+
+    for i in range(max(1, tries)):
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE_CODE],
+                               timeout=probe_timeout, env=env,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+            detail = (r.stderr or b"").decode(errors="replace").strip()
+            detail = detail.splitlines()[-1][:160] if detail else "nonzero exit"
+        except subprocess.TimeoutExpired:
+            detail = f"probe hung > {probe_timeout:g}s (relay outage?)"
+        if i < tries - 1:
+            print(f"bench.py: device probe {i + 1}/{tries} failed "
+                  f"({detail}); retrying in {sleep_s:g}s", file=sys.stderr)
+            time.sleep(sleep_s)
+        else:
+            print(f"bench.py: device probe {i + 1}/{tries} failed "
+                  f"({detail}); proceeding anyway", file=sys.stderr)
+    return False
+
 
 def tuned_cadence_applies(args) -> bool:
     """Whether the measured headline cadence (rebin_every=10) applies.
@@ -88,9 +131,16 @@ def main(argv=None) -> int:
     ap.add_argument("--retries", type=int, default=2,
                     help="fresh-process retries after a transient relay/TPU "
                          "failure (0 disables)")
+    ap.add_argument("--wait-tries", type=int, default=5,
+                    help="bounded device-availability probes before measuring "
+                         "(relay outages HANG device init; each probe is a "
+                         "120s-capped subprocess, 150s between probes; 0 "
+                         "skips the preflight)")
     args = ap.parse_args(argv)
     if args.quick:
         args.n, args.steps = 262_144, 200
+    if args.wait_tries > 0:
+        wait_for_device(tries=args.wait_tries)
 
     try:
         return _measure(args)

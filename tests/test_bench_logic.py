@@ -49,3 +49,25 @@ def test_transient_retry_strips_explicit_retries_flag():
     # marker list is what classifies a relay crash as transient.
     assert "crashed or restarted" in bench._TRANSIENT_MARKERS
     assert "UNAVAILABLE" in bench._TRANSIENT_MARKERS
+
+
+def test_wait_for_device_succeeds_on_cpu_and_bounds_failures():
+    import os
+    import sys
+
+    # Success path: a CPU-forced probe subprocess round-trips a computation
+    # (strip the axon relay hook so the probe cannot hang on an outage —
+    # the real bench run keeps the inherited env and probes the relay).
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    assert bench.wait_for_device(tries=1, probe_timeout=300, env=env)
+
+    # Failure path is BOUNDED and non-raising: a probe interpreter that
+    # exits nonzero immediately exhausts its tries and returns False
+    # (bench then proceeds; the old behavior, minus the unbounded hang).
+    real_exe = sys.executable
+    try:
+        sys.executable = "/bin/false"  # ignores args, exits 1 instantly
+        assert not bench.wait_for_device(tries=2, probe_timeout=5,
+                                         sleep_s=0.0, env=env)
+    finally:
+        sys.executable = real_exe
