@@ -48,7 +48,9 @@ _PROBE_CODE = (
 
 
 def wait_for_device(tries: int = 5, probe_timeout: float = 120.0,
-                    sleep_s: float = 150.0, env=None) -> bool:
+                    sleep_s: float = 150.0, env=None,
+                    first_probe_timeout: float = 600.0,
+                    executable: str = None) -> bool:
     """Bounded wait for a usable accelerator before the timed measurement.
 
     Relay outages (CLAUDE.md: hours-long windows with no device init at
@@ -58,22 +60,34 @@ def wait_for_device(tries: int = 5, probe_timeout: float = 120.0,
     timeout instead: a hung probe is killed and retried after a pause, and
     after ``tries`` failures we proceed anyway (the main path then reports
     whatever error the backend gives, same as before this guard). Returns
-    True when a probe round-tripped a computation on the device.
+    True when a probe round-tripped a computation on the device; False
+    when probing was skipped (``tries <= 0``) or every probe failed.
+
+    The FIRST probe gets ``first_probe_timeout`` (default 10 min, the
+    documented ceiling of a cold serialized remote compile) so a healthy
+    but cold/busy relay isn't misdiagnosed as an outage; later probes use
+    the shorter ``probe_timeout`` — the probe program is compile-cached
+    after the first round trip, so a slow SECOND probe really is outage-
+    shaped. ``executable`` overrides the probing interpreter (tests).
     """
     import subprocess
     import time
 
-    for i in range(max(1, tries)):
+    if tries <= 0:
+        return False
+    exe = executable or sys.executable
+    for i in range(tries):
+        timeout = first_probe_timeout if i == 0 else probe_timeout
         try:
-            r = subprocess.run([sys.executable, "-c", _PROBE_CODE],
-                               timeout=probe_timeout, env=env,
+            r = subprocess.run([exe, "-c", _PROBE_CODE],
+                               timeout=timeout, env=env,
                                capture_output=True)
             if r.returncode == 0:
                 return True
             detail = (r.stderr or b"").decode(errors="replace").strip()
             detail = detail.splitlines()[-1][:160] if detail else "nonzero exit"
         except subprocess.TimeoutExpired:
-            detail = f"probe hung > {probe_timeout:g}s (relay outage?)"
+            detail = f"probe hung > {timeout:g}s (relay outage?)"
         if i < tries - 1:
             print(f"bench.py: device probe {i + 1}/{tries} failed "
                   f"({detail}); retrying in {sleep_s:g}s", file=sys.stderr)
@@ -84,17 +98,22 @@ def wait_for_device(tries: int = 5, probe_timeout: float = 120.0,
     return False
 
 
+TUNED_CADENCE = 11
+
+
 def tuned_cadence_applies(args) -> bool:
-    """Whether the measured headline cadence (rebin_every=10) applies.
+    """Whether the measured headline cadence (rebin_every=11) applies.
 
     Only the exact validated regime: the 2D pallas flagship at >=1M
-    particles, no explicit cadence/chunking override, full (non-quick)
-    runs whose step count keeps whole rebin periods. Everything else runs
-    the config default. Unit-tested in tests/test_bench_logic.py."""
+    particles, no explicit cadence/chunking override, full-length
+    (non-quick) runs. Everything else runs the config default. The static
+    run driver composes partial rebin periods bit-identically, so the step
+    count needs no cadence alignment. Unit-tested in
+    tests/test_bench_logic.py."""
     return (args.rebin_every is None and args.ndim == 2
             and args.engine == "pallas" and args.chunk_steps is None
             and not args.quick and args.n >= 1_000_000
-            and args.steps % 10 == 0)
+            and args.steps >= 100)
 
 
 def main(argv=None) -> int:
@@ -115,14 +134,16 @@ def main(argv=None) -> int:
     ap.add_argument("--force-law", default=None, help="repulsive | lj")
     ap.add_argument("--dt", type=float, default=None)
     ap.add_argument("--grid3-capacity", type=int, default=None)
-    # Rebin cadence. Default for the 2D flagship headline: 10 — the
+    # Rebin cadence. Default for the 2D flagship headline: 11 — the
     # one-process A/B at n=20.97M on the snapped cap-14 geometry measured
-    # cadence 10 at 940.9M p-s/s vs 927.3M at the config default 8, zero
-    # drops, drift margin 0.0182 < slack 0.0258 even at the worst observed
-    # max|v| (bench/results_tpu.jsonl "ab" rows; cadence 12 tripped the
-    # deferral-pressure drop monitor and is rejected). If a monitor trips
-    # at the tuned cadence, _measure falls back to the config default and
-    # records that in the JSON.
+    # cadence 11 at 946.8M p-s/s vs 941.3M at cadence 10 (r4,
+    # "ab": "rebin_cadence" rows) and cadence 10 at 940.9M vs 927.3M at
+    # the config default 8 (r3), zero drops everywhere, drift margin
+    # 0.0203 < slack 0.0258 at the worst observed max|v|; cadence 12
+    # tripped the deferral-pressure drop monitor and is rejected
+    # (bench/results_tpu.jsonl). If a monitor trips at the tuned cadence,
+    # _measure falls back to the config default and records that in the
+    # JSON.
     ap.add_argument("--rebin-every", type=int, default=None)
     ap.add_argument("--chunk-steps", type=int, default=None,
                     help="N async invocations of one compiled chunk program "
@@ -133,9 +154,10 @@ def main(argv=None) -> int:
                          "failure (0 disables)")
     ap.add_argument("--wait-tries", type=int, default=5,
                     help="bounded device-availability probes before measuring "
-                         "(relay outages HANG device init; each probe is a "
-                         "120s-capped subprocess, 150s between probes; 0 "
-                         "skips the preflight)")
+                         "(relay outages HANG device init; the first probe is "
+                         "a 600s-capped subprocess — a cold remote compile "
+                         "can take minutes — later ones 120s, 150s between "
+                         "probes; 0 skips the preflight)")
     args = ap.parse_args(argv)
     if args.quick:
         args.n, args.steps = 262_144, 200
@@ -187,7 +209,7 @@ def _measure(args) -> int:
             args.engine = "pallas3d"
     tuned_cadence = tuned_cadence_applies(args)
     if tuned_cadence:
-        kw["rebin_every"] = 10  # measured headline win; see --rebin-every
+        kw["rebin_every"] = TUNED_CADENCE  # measured win; see --rebin-every
     config = SimConfig(num_parts=args.n, **kw)
     state = init_particles(config, seed=42, method="fast")
     fallback = False

@@ -11,15 +11,23 @@ exec >>/tmp/r3_queue17.log 2>&1
 stamp() { date -u '+%Y-%m-%dT%H:%M:%SZ'; }
 echo "=== r3_queue17 start $(stamp)"
 
+ok=0
 for i in $(seq 1 30); do
     if timeout 300 python -c "
 import jax, numpy as np
 x = jax.jit(lambda a: a*2)(np.ones(8, np.float32))
 assert float(np.asarray(x)[0]) == 2.0
 print('relay OK')
-"; then break; fi
+"; then ok=1; break; fi
     echo "probe $i failed $(stamp); sleeping 300s"; sleep 300
 done
+if [ "$ok" -ne 1 ]; then
+    # Don't burn the queue stages against a known-dead relay (r3 advisor):
+    # bench.py's own preflight would spend another ~20 min before each
+    # stage's timeout absorbed the hang.
+    echo "=== r3_queue17 abort: relay never came back $(stamp)"
+    exit 1
+fi
 
 echo "=== stage S1: bench.py --quick smoke $(stamp)"
 timeout 3600 python bench.py --quick

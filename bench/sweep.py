@@ -73,7 +73,7 @@ def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
             "sharded_tile": ShardedTileEngine,
         }[engine_name]
         kw = dict(engine_kw or {})
-        if engine_name in ("sharded_grid", "sharded_grid3d"):
+        if engine_name in ("sharded_grid", "sharded_grid3d", "sharded_tile"):
             # On a CPU mesh the Mosaic kernels only run interpret-emulated
             # (~1000x off); the XLA-twin impl is the meaningful one there.
             on_tpu = jax.devices()[0].platform == "tpu"

@@ -250,6 +250,18 @@ def grid_force_pallas(xl, yl, geom: SlabGeometry, cutoff, min_r, mass,
     return ax, ay
 
 
+def _col_off_of(gcol_ref, shape, bs):
+    """Per-lane global-col offset plane for the move tail's wall reflection.
+
+    ``gcol_ref`` is None on the single-chip / row-strip paths (lane index ==
+    global col, computed in-kernel); the 2-D tile mesh passes a global-col
+    plane because its shards' lane 0 sits at ``col0 - ghost_lanes``."""
+    if gcol_ref is None:
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        return lane.astype(jnp.float32) * bs
+    return gcol_ref[...].astype(jnp.float32) * bs
+
+
 def _move_tail(x_ref, y_ref, vx_ref, vy_ref, ax_ref, ay_ref,
                xo_ref, yo_ref, vxo_ref, vyo_ref, spo_ref,
                *, cap, dtf, L, row_off, col_off):
@@ -291,21 +303,22 @@ def _move_tail(x_ref, y_ref, vx_ref, vy_ref, ax_ref, ay_ref,
 
 
 def _step_kernel_asym(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
-                      vx_ref, vy_ref, grow_ref,
-                      xo_ref, yo_ref, vxo_ref, vyo_ref, spo_ref,
-                      ax_ref, ay_ref,
-                      *, cap, cols, br, geom: SlabGeometry,
-                      cutoff, min_r, mass, dt, size, law, law_params):
+                      vx_ref, vy_ref, grow_ref, *rest,
+                      cap, cols, br, geom: SlabGeometry,
+                      cutoff, min_r, mass, dt, size, law, law_params,
+                      has_gcol=False):
     """Asymmetric (reference-style one-way) fused step: every pair evaluated
     from both sides, 9 x cap^2 slab-pair planes per bin. Kept as the
     A/B-able twin of the symmetric kernel (relay throughput varies ~2x
     between sessions, so variants must be timed in ONE process)."""
+    gcol_ref = rest[0] if has_gcol else None
+    (xo_ref, yo_ref, vxo_ref, vyo_ref, spo_ref,
+     ax_ref, ay_ref) = rest[1 if has_gcol else 0:]
     dtf = jnp.float32(dt)
     L = jnp.float32(size)
     bs = jnp.float32(geom.bin_size)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x_ref.shape[1:], 1)
     row_off = grow_ref[...].astype(jnp.float32) * bs
-    col_off = lane.astype(jnp.float32) * bs
+    col_off = _col_off_of(gcol_ref, x_ref.shape[1:], bs)
 
     for s in range(cap):
         ax_ref[s] = jnp.zeros_like(ax_ref[s])
@@ -325,11 +338,10 @@ def _step_kernel_asym(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
 
 
 def _step_kernel(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
-                 vx_ref, vy_ref, grow_ref,
-                 xo_ref, yo_ref, vxo_ref, vyo_ref, spo_ref,
-                 ax_ref, ay_ref, spill_ax_ref, spill_ay_ref,
-                 *, cap, cols, br, geom: SlabGeometry,
-                 cutoff, min_r, mass, dt, size, law, law_params):
+                 vx_ref, vy_ref, grow_ref, *rest,
+                 cap, cols, br, geom: SlabGeometry,
+                 cutoff, min_r, mass, dt, size, law, law_params,
+                 has_gcol=False):
     """Fused symmetric force + Verlet move + wall reflection (one pass/step).
 
     Unlike the reference (which deliberately skips Newton's-third-law
@@ -363,7 +375,19 @@ def _step_kernel(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
     than SSA values: Mosaic's allocator keeps every live plane on the kernel
     stack, and ``4 x capacity`` live accumulator planes blow past the chip's
     128MB VMEM at wide grids.
+
+    2-D tile shards (engines/sharded_tile.py) run this same kernel on
+    COL-EXTENDED arrays whose ghost-lane blocks carry the lateral
+    neighbors' boundary cols: the symmetric scatter structure then covers
+    every cross-col-boundary pair for free — a ghost lane's own east/south
+    evaluations scatter the reaction forces onto the interior lanes, and
+    the interior edge lanes' evaluations see the ghost data directly. The
+    only addition the tile path needs is ``has_gcol`` (a global-col plane
+    for the move tail, since shard lane 0 is not global col 0).
     """
+    gcol_ref = rest[0] if has_gcol else None
+    (xo_ref, yo_ref, vxo_ref, vyo_ref, spo_ref,
+     ax_ref, ay_ref, spill_ax_ref, spill_ay_ref) = rest[1 if has_gcol else 0:]
     i = pl.program_id(0)
     dtf = jnp.float32(dt)
     L = jnp.float32(size)
@@ -375,7 +399,7 @@ def _step_kernel(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
     row_bot = row == (br - 1)
     bad_of = {1: lane == (cols - 1), -1: lane == 0}
     row_off = grow_ref[...].astype(jnp.float32) * bs
-    col_off = lane.astype(jnp.float32) * bs
+    col_off = _col_off_of(gcol_ref, shape, bs)
 
     def pair(xn, yn, s):
         """(+fx, +fy) on self slot s from a neighbor plane at (xn, yn)."""
@@ -499,7 +523,7 @@ def _step_kernel(x_ref, xt_ref, xb_ref, y_ref, yt_ref, yb_ref,
 )
 def grid_step_pallas(xl, yl, vx, vy, geom: SlabGeometry,
                      cutoff, min_r, mass, dt, size, interpret=False,
-                     row0=None,
+                     row0=None, col0=None,
                      ghosts: Optional[Tuple] = None,
                      law="repulsive", law_params=(), symmetric=True):
     """Fused force+move step. Returns (xl', yl', vx', vy', speed2) where
@@ -509,6 +533,10 @@ def grid_step_pallas(xl, yl, vx, vy, geom: SlabGeometry,
 
     ``row0``: traced global row index of this array's first row (sharded
     engine passes ``axis_index * rows_local``; default 0).
+    ``col0``: traced global col index of lane 0 — ONLY the 2-D tile engine
+    passes this (its shards run on col-extended arrays whose lane 0 is a
+    ghost lane); when None, lane index == global col and no extra input
+    plane is spent.
     ``ghosts``: optional (top_xl, top_yl, bot_xl, bot_yl), each (cap, 1, C) —
     neighbor boundary rows for the force stencil (sharded halo exchange).
     ``symmetric``: Newton's-third-law kernel (default) vs the two-sided
@@ -528,6 +556,10 @@ def grid_step_pallas(xl, yl, vx, vy, geom: SlabGeometry,
 
     base = 0 if row0 is None else row0
     grow = base + jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    has_gcol = col0 is not None
+    extra_in = []
+    if has_gcol:
+        extra_in = [col0 + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)]
 
     main, top, bot = _halo_specs(cap, br, C)
     spec = pl.BlockSpec((cap, br, C), lambda i: (0, i, 0),
@@ -537,7 +569,7 @@ def grid_step_pallas(xl, yl, vx, vy, geom: SlabGeometry,
         _step_kernel if symmetric else _step_kernel_asym,
         cap=cap, cols=C, br=br, geom=geom,
         cutoff=cutoff, min_r=min_r, mass=mass, dt=dt, size=size,
-        law=law, law_params=law_params,
+        law=law, law_params=law_params, has_gcol=has_gcol,
     )
     scratch = [
         pltpu.VMEM((cap, br, C), jnp.float32),
@@ -551,7 +583,8 @@ def grid_step_pallas(xl, yl, vx, vy, geom: SlabGeometry,
     out = pl.pallas_call(
         kernel,
         grid=(R // br,),
-        in_specs=[main, top, bot] * 2 + [spec] * 2 + [gspec],
+        in_specs=[main, top, bot] * 2 + [spec] * 2
+        + [gspec] * (2 if has_gcol else 1),
         out_specs=[spec] * 4 + [gspec],
         out_shape=[jax.ShapeDtypeStruct((cap, R, C), jnp.float32)] * 4
         + [jax.ShapeDtypeStruct((R, C), jnp.float32)],
@@ -565,5 +598,5 @@ def grid_step_pallas(xl, yl, vx, vy, geom: SlabGeometry,
             bytes_accessed=R * C * cap * 4 * 12,
             transcendentals=R * C * cap * cap * (5 if symmetric else 9),
         ),
-    )(xe, xe, xe, ye, ye, ye, vx, vy, grow)
+    )(xe, xe, xe, ye, ye, ye, vx, vy, grow, *extra_in)
     return tuple(out)

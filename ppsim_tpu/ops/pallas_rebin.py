@@ -369,9 +369,8 @@ def _dir1(coord, alive, gi, n_phys: int, inv):
 
 def _axes_kernel(xm, x0, xp, xp2, pm, p0, pp, pp2,
                  ym, y0, yp, vxm, vx0, vxp, vym, vy0, vyp,
-                 grow_ref,
-                 xo, yo, vxo, vyo, po, cnt_out,
-                 *, cap, evac_cap, geom: SlabGeometry, br):
+                 grow_ref, *rest,
+                 cap, evac_cap, geom: SlabGeometry, br, has_gcol=False):
     """Fused axis-factorized rebin: rows (x) pass via +-1 row views (counts
     from up to +2), then the cols (y) pass lane-local on the x-settled
     planes — ONE HBM round trip for the whole rebin, two directions per
@@ -383,13 +382,22 @@ def _axes_kernel(xm, x0, xp, xp2, pm, p0, pp, pp2,
     residual_movers_post] so the monitors (incl. the PRE-rebin far-mover
     flag, grid3d ADVICE-class fix) cost tiny-plane XLA reductions instead
     of a full re-read of the slab state.
+
+    ``has_gcol``: the 2-D tile engine passes a global-col plane (its
+    col-extended shards' lane 0 is a ghost lane, not global col 0); the
+    y-direction wall clamps then read it, while the ``_lane_shift`` bounds
+    masks stay on the LOCAL lane index (array bounds, not physical walls —
+    the ghost blocks' BIG fill covers the boundary semantics).
     """
+    gcol_ref = rest[0] if has_gcol else None
+    xo, yo, vxo, vyo, po, cnt_out = rest[1 if has_gcol else 0:]
     C = geom.cols_pad
     inv = jnp.float32(1.0 / geom.bin_size)
     bs = jnp.float32(geom.bin_size)
     cap_f = jnp.float32(cap)
     shape = x0.shape[1:]
     col_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    gcol0 = gcol_ref[...] if has_gcol else col_iota
     grow0 = grow_ref[...]
 
     # ---- per-view aliveness and row-direction (x) ----------------------
@@ -485,7 +493,7 @@ def _axes_kernel(xm, x0, xp, xp2, pm, p0, pp, pp2,
 
     alive_s = [out_p[s] >= 0 for s in range(cap)]
     diry_s = [
-        _dir1(out_y[s], alive_s[s], col_iota, geom.cols, inv)
+        _dir1(out_y[s], alive_s[s], gcol0, geom.cols, inv)
         for s in range(cap)
     ]
     alive_cnt = jnp.zeros(shape, jnp.float32)
@@ -529,7 +537,7 @@ def _axes_kernel(xm, x0, xp, xp2, pm, p0, pp, pp2,
             spid_s = lshift(mid_p[s], -d, -1)
             salive = spid_s >= 0
             syl_s = lshift(mid_y[s], -d, BIG)
-            sgcol = col_iota - d
+            sgcol = gcol0 - d
             sdy = _dir1(syl_s, salive, sgcol, geom.cols, inv)
             mjs = salive & (sdy == d)
             accj = mjs & (srank < float(evac_cap)) & (offy_of[d] + srank < Fy)
@@ -553,7 +561,7 @@ def _axes_kernel(xm, x0, xp, xp2, pm, p0, pp, pp2,
     for s in range(cap):
         af = out_p[s] >= 0
         dxf = _dir1(out_x[s], af, grow0, geom.rows, inv)
-        dyf = _dir1(out_y[s], af, col_iota, geom.cols, inv)
+        dyf = _dir1(out_y[s], af, gcol0, geom.cols, inv)
         alive_post = alive_post + jnp.where(af, 1.0, 0.0)
         resid = resid + jnp.where(af & ((dxf != 0) | (dyf != 0)), 1.0, 0.0)
     cnt_out[_ALIVE_POST] = alive_post
@@ -594,18 +602,24 @@ def grid_rebin_axes_pallas(state: SlabState, geom: SlabGeometry, evac_cap: int,
 
 
 def rebin_axes_call_pallas(state: SlabState, geom: SlabGeometry, evac_cap: int,
-                           interpret: bool = False, row0=None,
+                           interpret: bool = False, row0=None, col0=None,
                            field_ghosts=None):
     """The raw fused-kernel call: returns (new_state, cnt) where ``cnt`` is
     the (4, R, C) [far_pre, alive_pre, alive_post, residual_movers] stack.
     The sharded engine reduces these planes itself (per-shard 'lost' is
     only meaningful after a psum — boundary transfers move alive counts
-    between shards)."""
+    between shards). ``col0``: traced global col of lane 0, passed only by
+    the 2-D tile engine (col-extended shards); None keeps the single-chip
+    and row-strip programs unchanged."""
     cap = state.xl.shape[0]
     R, C = state.xl.shape[1], geom.cols_pad
     br = _pick_row_block(geom, nplanes=30 * cap + 30, rows=R)
     base = 0 if row0 is None else row0
     grow = base + jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    has_gcol = col0 is not None
+    extra_in = []
+    if has_gcol:
+        extra_in = [col0 + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)]
 
     spec = pl.BlockSpec((cap, br, C), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     gspec = pl.BlockSpec((br, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -623,6 +637,7 @@ def rebin_axes_call_pallas(state: SlabState, geom: SlabGeometry, evac_cap: int,
         gt, gb = (None, None) if field_ghosts is None else field_ghosts[fi + 1]
         ins.extend(_views_range(f, fill, -1, 1, gt, gb))
     ins.append(grow)
+    ins.extend(extra_in)
 
     out_shapes = [jax.ShapeDtypeStruct((cap, R, C), jnp.float32)] * 4 + [
         jax.ShapeDtypeStruct((cap, R, C), jnp.int32),
@@ -630,9 +645,9 @@ def rebin_axes_call_pallas(state: SlabState, geom: SlabGeometry, evac_cap: int,
     ]
     xl, yl, vx, vy, pid, cnt = pl.pallas_call(
         functools.partial(_axes_kernel, cap=cap, evac_cap=evac_cap,
-                          geom=geom, br=br),
+                          geom=geom, br=br, has_gcol=has_gcol),
         grid=(R // br,),
-        in_specs=[spec] * 17 + [gspec],
+        in_specs=[spec] * 17 + [gspec] * (2 if has_gcol else 1),
         out_specs=[spec] * 5 + [cspec],
         out_shape=out_shapes,
         interpret=interpret,

@@ -1,7 +1,7 @@
 """Pure-logic tests for bench.py (no engine runs, no device).
 
 bench.py is the driver-run headline benchmark; its tuned-cadence
-decision (rebin_every=10 only in the exact validated regime, with a
+decision (rebin_every=11 only in the exact validated regime, with a
 monitor fallback) must never silently widen. Import by path — the repo
 root is not necessarily on sys.path under pytest."""
 
@@ -25,23 +25,27 @@ def _args(**over):
 
 
 def test_tuned_cadence_on_the_headline_config():
+    assert bench.TUNED_CADENCE == 11  # r4 A/B: 946.8M vs 941.3M at cadence 10
     assert bench.tuned_cadence_applies(_args())
 
 
 def test_tuned_cadence_only_in_the_validated_regime():
     # Any explicit cadence wins.
     assert not bench.tuned_cadence_applies(_args(rebin_every=8))
-    assert not bench.tuned_cadence_applies(_args(rebin_every=10))
+    assert not bench.tuned_cadence_applies(_args(rebin_every=11))
     # 3D / non-flagship engines / quick smoke keep config defaults.
     assert not bench.tuned_cadence_applies(_args(ndim=3))
     assert not bench.tuned_cadence_applies(_args(engine="grid"))
     assert not bench.tuned_cadence_applies(_args(quick=True))
     # Chunked runs must stay cadence-aligned with the chunk length.
     assert not bench.tuned_cadence_applies(_args(chunk_steps=200))
-    # Sub-1M sizes were never A/B'd at cadence 10.
+    # Sub-1M sizes were never A/B'd at the tuned cadence.
     assert not bench.tuned_cadence_applies(_args(n=262_144))
-    # Step counts with a partial rebin period keep the default.
-    assert not bench.tuned_cadence_applies(_args(steps=1004))
+    # Tiny step counts (smoke-sized) keep the default; full-length runs
+    # need no cadence alignment (the static driver composes partial
+    # rebin periods bit-identically — 1000 % 11 != 0 IS the headline).
+    assert not bench.tuned_cadence_applies(_args(steps=50))
+    assert bench.tuned_cadence_applies(_args(steps=1004))
 
 
 def test_transient_retry_strips_explicit_retries_flag():
@@ -64,10 +68,14 @@ def test_wait_for_device_succeeds_on_cpu_and_bounds_failures():
     # Failure path is BOUNDED and non-raising: a probe interpreter that
     # exits nonzero immediately exhausts its tries and returns False
     # (bench then proceeds; the old behavior, minus the unbounded hang).
-    real_exe = sys.executable
-    try:
-        sys.executable = "/bin/false"  # ignores args, exits 1 instantly
-        assert not bench.wait_for_device(tries=2, probe_timeout=5,
-                                         sleep_s=0.0, env=env)
-    finally:
-        sys.executable = real_exe
+    # The interpreter is injected — mutating the global sys.executable
+    # would race with anything else reading it (r3 advisor finding).
+    assert not bench.wait_for_device(tries=2, probe_timeout=5,
+                                     first_probe_timeout=5, sleep_s=0.0,
+                                     env=env, executable="/bin/false")
+    assert sys.executable != "/bin/false"
+
+    # tries <= 0 skips the preflight entirely (no probe, no misleading
+    # "probe 1/0 failed" print — r3 advisor finding).
+    assert not bench.wait_for_device(tries=0, env=env,
+                                     executable="/bin/false")

@@ -49,6 +49,25 @@ def test_sharded_tile_dirs9_mode_matches_grid(tiny_grid_config):
     r2.check(cfg, capacity=cfg.grid_capacity)
 
 
+def test_sharded_tile_pallas_col_split_matches_grid(grid_test_config):
+    """Pure col-axis split (1x4): every cross-boundary pair rides the
+    Mosaic kernel's ghost-lane scatter path (no row split to mask a col
+    bug), and lateral/corner migration rides the col-extended axes rebin.
+    Both impls must reproduce the single-chip engine."""
+    cfg = grid_test_config
+    st = init_particles(cfg, seed=42, method="reference")
+    r1 = get_engine("grid", cfg).run(st, nsteps=16)
+    for impl in ("xla", "pallas"):
+        r2 = ShardedTileEngine(cfg, devices=jax.devices()[:4],
+                               mesh_shape=(1, 4), col_block=8,
+                               impl=impl).run(st, nsteps=16)
+        np.testing.assert_allclose(
+            np.asarray(r1.state.pos), np.asarray(r2.state.pos), atol=2e-6,
+            err_msg=impl,
+        )
+        assert int(r2.monitors.migrate_dropped) == 0, impl
+
+
 def test_sharded_tile_saved_run_matches_grid(tiny_grid_config):
     cfg = tiny_grid_config
     st = init_particles(cfg, seed=42, method="reference")
