@@ -206,6 +206,27 @@ class SimConfig:
             return (self.lj_epsilon, self.lj_sigma)
         return ()
 
+    def __post_init__(self):
+        # float64 must be REAL when requested (SURVEY §7 names f64-vs-f32
+        # validation a hard part; r3 verdict: the flag silently ran f32
+        # because jax truncates f64 arrays unless x64 is enabled). The CLI
+        # enables x64 itself (harness.main); direct library users get this
+        # loud error instead of a silent truncation warning.
+        if self.dtype not in ("float32", "float64"):
+            raise ValueError(f"unsupported dtype {self.dtype!r} "
+                             "(float32 | float64)")
+        if self.dtype == "float64":
+            import jax
+
+            if not jax.config.jax_enable_x64:
+                raise RuntimeError(
+                    "dtype='float64' requires x64 mode: call "
+                    "jax.config.update('jax_enable_x64', True) before "
+                    "building the config (the CLI does this for "
+                    "--dtype float64). Without it JAX truncates every "
+                    "array to float32."
+                )
+
     @property
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)

@@ -34,6 +34,17 @@ from ppsim_tpu.state import ParticleState
 __all__ = ["GridEngine", "PallasGridEngine", "GridCarry"]
 
 
+def require_f32(config) -> None:
+    """The slab families are f32-only; see GridEngine.__init__."""
+    if config.dtype != "float32":
+        raise ValueError(
+            "the slab-grid engine family is float32-only (the TPU-native "
+            "slot-slab layout and Mosaic kernels are built on f32 planes); "
+            "run --dtype float64 through the gather engines "
+            "(oracle / binned / binned3d / sharded)"
+        )
+
+
 class GridCarry(NamedTuple):
     slab: SlabState
     step: jax.Array  # int32 step counter (drives the rebin cadence)
@@ -50,6 +61,7 @@ class GridEngine(Engine):
 
     def __init__(self, config):
         super().__init__(config)
+        require_f32(config)
         self.geom = SlabGeometry.for_config(config)
 
     @property

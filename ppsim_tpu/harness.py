@@ -335,6 +335,14 @@ def main(argv=None) -> int:
 
         force_cpu_devices(args.cpu_mesh)
 
+    if args.dtype == "float64":
+        # Must happen before ANY tracing: without x64, jax silently
+        # truncates f64 arrays to f32 (r3 verdict: the flag was a no-op).
+        # TPU f64 is emulated and slow — this path exists for f64-vs-f32
+        # validation against the native oracle (SURVEY §7), typically with
+        # --engine binned/oracle on CPU.
+        jax.config.update("jax_enable_x64", True)
+
     config = config_from_args(args)
     nsteps = args.steps if args.steps is not None else config.nsteps
     # Reference cadence: saving happens only when an output file is requested.

