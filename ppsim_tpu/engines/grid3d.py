@@ -17,6 +17,7 @@ plug in through the same seam; the full stretch config
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -52,6 +53,9 @@ class Grid3DEngine(GridEngine):
 
     def __init__(self, config):
         super(GridEngine, self).__init__(config)  # skip 2D geom setup
+        from ppsim_tpu.engines.grid import require_f32
+
+        require_f32(config)
         self.geom = Geometry3S.for_config(config)
 
     @property
@@ -107,13 +111,41 @@ class Grid3DEngine(GridEngine):
             )
         return self._pack
 
+    # Run-tail headroom on top of the measured initial packing, keyed on
+    # the force law: the repulsive law's measured run max never exceeds its
+    # initial lattice packing (20.97M: packs 12, runs at 12), while LJ's
+    # attractive tail clusters pockets ONE slot past it (20.97M: packs 12,
+    # runs to 13) — bench/results_tpu3d.jsonl max_bin_count columns. This
+    # is what previously forced the hand flags `--grid3-capacity 11`
+    # (repulsive) / `12` (LJ) at the stretch scale.
+    _TAIL_SLOTS = {"repulsive": 0, "lj": 1}
+
     def init_carry(self, state: ParticleState) -> GridCarry:
         slab, overflow = self._pack_jit()(state.pos, state.vel)
         if int(overflow):
-            raise RuntimeError(
-                f"initial bin occupancy exceeds grid3_capacity "
-                f"{self.capacity} by {int(overflow)}; raise grid3_capacity"
-            )
+            # Auto-raise: the initial lattice packing is measured exactly
+            # (packing = capacity + overflow), so rebuild the geometry at
+            # packing + the law-keyed run-tail margin and re-pack once.
+            # Clear every per-instance jit cache — they are traced against
+            # the old static geometry. Candidate-choice costs are not
+            # re-scored: capacity is a pure headroom axis here (the snap
+            # chooser already priced the bin SHAPE).
+            import sys
+
+            packing = self.capacity + int(overflow)
+            new_cap = packing + self._TAIL_SLOTS.get(
+                self.config.force_law, 1)
+            print(
+                f"grid3d: initial packing {packing} exceeds capacity "
+                f"{self.capacity}; auto-raising capacity to {new_cap} "
+                f"(+{new_cap - packing} {self.config.force_law} run-tail "
+                "headroom)", file=sys.stderr)
+            self.geom = dataclasses.replace(self.geom, capacity=new_cap)
+            for cache in ("_pack", "_final_jit", "_frame_jit"):
+                self.__dict__.pop(cache, None)
+            self._programs.clear()
+            slab, overflow = self._pack_jit()(state.pos, state.vel)
+            assert int(overflow) == 0  # packing was measured exactly
         return GridCarry(slab, jnp.zeros((), jnp.int32), Monitors.zeros())
 
     def frame_of(self, carry: GridCarry):

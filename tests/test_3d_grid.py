@@ -28,6 +28,44 @@ def _one_plain_step(engine, state):
     return engine.final_state_jit(carry)
 
 
+def test_grid3d_auto_raises_capacity_from_initial_packing(cfg3):
+    """An under-capacity 3D config must auto-raise to the measured initial
+    packing (+ law-keyed run-tail slots) instead of demanding hand flags —
+    the r3 stretch rows needed --grid3-capacity passed by hand because the
+    20.97M lattice packs past the default (r4 fix). The raised engine's
+    first step must match an engine built at the raised capacity."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from ppsim_tpu.engines.grid3d import Grid3DEngine
+
+    st = init_particles(cfg3, seed=42, method="fast")
+    ref = Grid3DEngine(cfg3)  # cap 8 fits this packing (dryrun: peaks at 8)
+    assert int(ref._pack_jit()(st.pos, st.vel)[1]) == 0
+
+    low = Grid3DEngine(dataclasses.replace(cfg3, grid3_capacity=5))
+    carry = low.init_carry(st)  # must auto-raise, not raise
+    packing = low.capacity  # repulsive run-tail margin is 0
+    assert 5 < packing <= ref.capacity
+    assert int(low._pack_jit()(st.pos, st.vel)[1]) == 0
+    # Capacity is pure headroom: the raised engine's physics matches an
+    # engine that fit from the start (empty slots are inert sentinels).
+    carry = jax.jit(low.step_plain)(carry)
+    ref_carry = jax.jit(ref.step_plain)(ref.init_carry(st))
+    np.testing.assert_allclose(
+        np.asarray(low.final_state_jit(carry).pos),
+        np.asarray(ref.final_state_jit(ref_carry).pos), atol=1e-6,
+    )
+
+    # LJ keys one extra run-tail slot on top of the measured packing.
+    lj = Grid3DEngine(dataclasses.replace(
+        cfg3, grid3_capacity=5, force_law="lj", dt=1e-4))
+    lj.init_carry(st)
+    assert lj.capacity == packing + 1
+
+
 def test_grid3d_one_step_matches_oracle(cfg3):
     state = init_particles(cfg3, seed=42, method="fast")
     s1 = get_engine("oracle", cfg3).step_state(state)
