@@ -123,7 +123,16 @@ class ShardedGridEngine(GridEngine):
         return top, bot
 
     # ---------------------------------------------------------- local steps
+    # ``_phase_disable`` ("move" | "rebin" | None) is profiling.phase_times'
+    # variant-subtraction seam: the shard_map closures bind these methods at
+    # __init__, so the single-chip engines' monkeypatch seam can't reach
+    # them — instead the flag is consulted at TRACE time (phase_times jits
+    # a fresh scan per variant).
+    _phase_disable = None
+
     def _local_plain(self, xl, yl, vx, vy, pid):
+        if self._phase_disable == "move":
+            return xl, yl, vx, vy, jnp.zeros((), jnp.float32)
         if self.impl == "xla":
             return self._local_plain_xla(xl, yl, vx, vy, pid)
         from ppsim_tpu.ops.pallas_grid import grid_step_pallas
@@ -199,6 +208,11 @@ class ShardedGridEngine(GridEngine):
         nxl, nyl, nvx, nvy, max_speed = self._local_plain(xl, yl, vx, vy, pid)
         state = SlabState(nxl, nyl, nvx, nvy, pid)
         row0 = jax.lax.axis_index("x") * self.rows_local
+
+        if self._phase_disable == "rebin":
+            z = jnp.zeros((), jnp.int32)
+            return (state.xl, state.yl, state.vx, state.vy, state.pid,
+                    z, z, z, max_speed)
 
         if self.impl != "xla" and cfg.grid_rebin_mode == "axes":
             # Fused axes kernel per shard: the x (strip-axis) pass reads

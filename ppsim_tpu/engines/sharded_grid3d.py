@@ -125,7 +125,12 @@ class ShardedGrid3DEngine(Grid3DEngine):
         return Slab3State(*fields)
 
     # ---------------------------------------------------------- local steps
+    # phase_times' trace-time variant seam (see sharded_grid.py).
+    _phase_disable = None
+
     def _local_plain(self, xl, yl, zl, vx, vy, vz, pid):
+        if self._phase_disable == "move":
+            return xl, yl, zl, vx, vy, vz, jnp.zeros((), jnp.float32)
         if self.impl == "pallas":
             return self._local_plain_pallas(xl, yl, zl, vx, vy, vz, pid)
         return self._local_plain_xla(xl, yl, zl, vx, vy, vz, pid)
@@ -178,6 +183,11 @@ class ShardedGrid3DEngine(Grid3DEngine):
         )
         state = Slab3State(nxl, nyl, nzl, nvx, nvy, nvz, pid)
         y0 = jax.lax.axis_index("x") * self.ys_local
+
+        if self._phase_disable == "rebin":
+            z = jnp.zeros((), jnp.int32)
+            return (state.xl, state.yl, state.zl, state.vx, state.vy,
+                    state.vz, state.pid, z, z, z, max_speed)
 
         # Axis-factorized rebin: the x/z passes are strictly within-slab
         # (identical on the ghost overlap by construction); only the final

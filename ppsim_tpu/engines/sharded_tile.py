@@ -215,6 +215,8 @@ class ShardedTileEngine(ShardedGridEngine):
 
     # ---------------------------------------------------------- local steps
     def _local_plain(self, xl, yl, vx, vy, pid):
+        if self._phase_disable == "move":  # phase_times seam (sharded_grid)
+            return xl, yl, vx, vy, jnp.zeros((), jnp.float32)
         if self.impl == "xla":
             return self._local_plain_xla(xl, yl, vx, vy, pid)
         return self._local_plain_pallas(xl, yl, vx, vy, pid)
@@ -329,6 +331,11 @@ class ShardedTileEngine(ShardedGridEngine):
         nxl, nyl, nvx, nvy, max_speed = self._local_plain(xl, yl, vx, vy, pid)
         state = SlabState(nxl, nyl, nvx, nvy, pid)
         row0, col0 = self._offsets()
+
+        if self._phase_disable == "rebin":  # phase_times seam (sharded_grid)
+            z = jnp.zeros((), jnp.int32)
+            return (state.xl, state.yl, state.vx, state.vy, state.pid,
+                    z, z, z, max_speed)
 
         if self.impl != "xla" and cfg.grid_rebin_mode == "axes":
             return self._rebin_pallas_tile(state, row0, col0, max_speed)

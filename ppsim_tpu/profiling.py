@@ -68,38 +68,59 @@ def timeit_scan(step_fn, carry, steps_a: int = 10, steps_b: int = 60, reps: int 
 
 
 def phase_times(engine, state: ParticleState, steps: int = 50) -> Dict[str, float]:
-    """Per-phase seconds/step for a grid-family engine (force/move/rebin).
+    """Per-phase seconds/step for a slab-family engine (force/move/rebin).
 
-    Returns {"step": t, "force": ~, "rebin": ~, "move+overhead": ~}; each
+    Returns {"step": t, "force+move": ~, "rebin": ~, "overhead": ~}; each
     phase cost is the marginal slowdown versus a variant with that phase
     disabled (accel hard-zeroed / rebin cadence pushed past the horizon).
+    The vecmp t1..t4 analog (part1/vecmp.cpp:25-32,178-183) for the whole
+    slab family: 2D and 3D, single-chip and sharded.
+
+    Variant seams differ by family: the single-chip engines route every
+    step through ``move_phase``/``rebin_of``, which are monkeypatched; the
+    sharded engines bind their local step functions into shard_map closures
+    at construction, so they consult the ``_phase_disable`` flag at trace
+    time instead (each variant here jits a fresh scan).
     """
     from ppsim_tpu.engines.grid import GridEngine
 
     if not isinstance(engine, GridEngine):
-        raise TypeError("phase_times currently supports the grid-family engines")
+        raise TypeError(
+            "phase_times supports the slab-family engines (grid/pallas/"
+            "grid3d/pallas3d and their sharded variants); the sort-binned "
+            "engines rebuild bins inside the fused step and have no "
+            "separable rebin phase"
+        )
 
     carry = engine.init_carry(state)
     t_full = timeit_scan(engine.step_carry, carry, 10, 10 + steps)
 
-    # variant: no forces/move (the whole fused phase disabled)
-    real_move = engine.move_phase
-    engine.move_phase = lambda slab: (slab, jnp.zeros((), jnp.float32))
-    try:
-        t_nomove = timeit_scan(engine.step_carry, carry, 10, 10 + steps)
-    finally:
-        engine.move_phase = real_move
+    def timed_without(phase: str) -> float:
+        if hasattr(engine, "_rebin_step"):  # sharded: trace-time flag seam
+            engine._phase_disable = phase
+            try:
+                return timeit_scan(engine.step_carry, carry, 10, 10 + steps)
+            finally:
+                engine._phase_disable = None
+        if phase == "move":
+            real, engine.move_phase = engine.move_phase, lambda slab: (
+                slab, jnp.zeros((), jnp.float32))
+            try:
+                return timeit_scan(engine.step_carry, carry, 10, 10 + steps)
+            finally:
+                engine.move_phase = real
+        from ppsim_tpu.ops.grid_ops import RebinMonitors
 
-    # variant: no rebin
-    real_rebin = engine.rebin_of
-    from ppsim_tpu.ops.grid_ops import RebinMonitors
+        z = jnp.zeros((), jnp.int32)
+        real, engine.rebin_of = engine.rebin_of, lambda s: (
+            s, RebinMonitors(z, z, z))
+        try:
+            return timeit_scan(engine.step_carry, carry, 10, 10 + steps)
+        finally:
+            engine.rebin_of = real
 
-    z = jnp.zeros((), jnp.int32)
-    engine.rebin_of = lambda s: (s, RebinMonitors(z, z, z))
-    try:
-        t_norebin = timeit_scan(engine.step_carry, carry, 10, 10 + steps)
-    finally:
-        engine.rebin_of = real_rebin
+    t_nomove = timed_without("move")
+    t_norebin = timed_without("rebin")
 
     force_move = max(t_full - t_nomove, 0.0)
     rebin = max(t_full - t_norebin, 0.0)
