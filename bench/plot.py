@@ -48,8 +48,10 @@ def main(argv=None) -> int:
         # A non-default force law is its own series (a file can mix the
         # repulsive sweep with lj rows, e.g. results_tpu3d.jsonl).
         series = r["engine"]
-        if r.get("force_law", "repulsive") != "repulsive":
-            series += f"[{r['force_law']}]"
+        law = r.get("force_law", "repulsive")
+        if law != "repulsive" and not series.endswith(f"[{law}]"):
+            # (one early r2 row already wrote the suffix into "engine")
+            series += f"[{law}]"
         key = (series, r["num_parts"])
         if key not in best or r["seconds"] < best[key]["seconds"]:
             best[key] = r
@@ -73,8 +75,11 @@ def main(argv=None) -> int:
         fig.savefig(f"{args.outdir}/{args.prefix}linear.png", dpi=120)
 
     # ---- device scaling --------------------------------------------------
-    sharded = [r for r in records if r.get("num_devices", 1) > 1
-               or r["engine"].startswith("sharded")]
+    # Rows without an "engine" key are per-variant ablation records
+    # (e.g. ab_tile1.py's "variant" rows) — not scaling data.
+    sharded = [r for r in records if "engine" in r
+               and (r.get("num_devices", 1) > 1
+                    or r["engine"].startswith("sharded"))]
     strong = collections.defaultdict(list)
     weak = collections.defaultdict(list)
     for r in sharded:
