@@ -79,12 +79,20 @@ def main(argv=None) -> int:
                     help="the r3 LJ stretch row's chunking (relay kills "
                          "single executions past ~1 min)")
     ap.add_argument("--out", default=None, help="append JSONL records here")
+    ap.add_argument("--only", choices=("hand", "auto"), default=None,
+                    help="run a single variant (e.g. re-validating the "
+                         "auto path after a floor recalibration without "
+                         "re-paying the hand control's 8 min)")
     args = ap.parse_args(argv)
     if not args.chunk_steps:
         args.chunk_steps = None  # 0 = one monolithic program
 
+    variants = [(12, "hand_cap12_r3"), (None, "auto_floor")]
+    if args.only:
+        variants = [v for v in variants if
+                    (v[0] is None) == (args.only == "auto")]
     records = []
-    for cap, label in ((12, "hand_cap12_r3"), (None, "auto_tail")):
+    for cap, label in variants:
         try:
             rec = run_variant(args, cap, label)
         except RuntimeError as e:

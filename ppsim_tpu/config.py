@@ -103,7 +103,12 @@ class SimConfig:
     # ~7e-6 and scale 3, ~3.9 per bin; capacity leaves Poisson tail room
     # (same deferral backpressure as 2D).
     grid3_bin_scale: float = 3.0
-    grid3_capacity: int = 10
+    # None = auto: Geometry3S.for_config picks the slot capacity (base 10
+    # plus measured anisotropy/attractive-tail headroom — see the
+    # calibration notes there). An explicit int is a hand override and
+    # disables both the LJ capacity floor and the engines' drop-detected
+    # capacity-escalation retry (engines/grid3d.py).
+    grid3_capacity: Optional[int] = None
     # Snap the 3D grid's lane/sublane axes: choose per-axis bin sizes so the
     # z bin count lands on a multiple of 128 (the TPU lane tile) and x on a
     # multiple of 8 (sublanes), compensating occupancy with the other axes
@@ -262,8 +267,8 @@ class SimConfig:
             )
         if self.rebin3_every is not None and self.rebin3_every < 1:
             raise ValueError("rebin3_every must be >= 1 (or None for auto)")
-        if self.grid3_capacity < 1:
-            raise ValueError("grid3_capacity must be >= 1")
+        if self.grid3_capacity is not None and self.grid3_capacity < 1:
+            raise ValueError("grid3_capacity must be >= 1 (or None for auto)")
         if self.force_law not in ("repulsive", "lj"):
             raise ValueError(
                 f"unknown force_law {self.force_law!r}; have 'repulsive', 'lj'"

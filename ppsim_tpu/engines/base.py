@@ -142,6 +142,13 @@ class Engine:
     def check(self, result: "RunResult") -> None:
         result.check(self.config, capacity=self.capacity)
 
+    def maybe_escalate_after_drop(self, result: "RunResult") -> bool:
+        """Self-healing hook: engines that can grow their slot capacity
+        after a dropped-particle run override this to raise capacity and
+        return True (caller re-runs from the initial state). Default: the
+        drop surfaces through check() as before (Grid3DEngine overrides)."""
+        return False
+
     # ---- backend interface -------------------------------------------------
     def init_carry(self, state: ParticleState):
         n = state.num_parts

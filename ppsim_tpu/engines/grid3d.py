@@ -120,16 +120,30 @@ class Grid3DEngine(GridEngine):
     # (repulsive) / `12` (LJ) at the stretch scale.
     _TAIL_SLOTS = {"repulsive": 0, "lj": 1}
 
+    # Drop-detected escalation (run() below) is safe where re-tracing
+    # against a new static geometry only needs the per-instance jit caches
+    # cleared. The sharded 3D engine opts out: its shard extents were
+    # computed against the init-time geometry.
+    _capacity_retry = True
+    _DROP_RETRIES = 2
+
+    def _set_capacity(self, new_cap: int) -> None:
+        """Rebuild the geometry at ``new_cap`` slots and clear every
+        per-instance jit cache — they are traced against the old static
+        geometry. Candidate-choice costs are not re-scored: capacity is a
+        pure headroom axis here (the snap chooser already priced the bin
+        SHAPE)."""
+        self.geom = dataclasses.replace(self.geom, capacity=new_cap)
+        for cache in ("_pack", "_final_jit", "_frame_jit"):
+            self.__dict__.pop(cache, None)
+        self._programs.clear()
+
     def init_carry(self, state: ParticleState) -> GridCarry:
         slab, overflow = self._pack_jit()(state.pos, state.vel)
         if int(overflow):
             # Auto-raise: the initial lattice packing is measured exactly
             # (packing = capacity + overflow), so rebuild the geometry at
             # packing + the law-keyed run-tail margin and re-pack once.
-            # Clear every per-instance jit cache — they are traced against
-            # the old static geometry. Candidate-choice costs are not
-            # re-scored: capacity is a pure headroom axis here (the snap
-            # chooser already priced the bin SHAPE).
             import sys
 
             packing = self.capacity + int(overflow)
@@ -140,13 +154,53 @@ class Grid3DEngine(GridEngine):
                 f"{self.capacity}; auto-raising capacity to {new_cap} "
                 f"(+{new_cap - packing} {self.config.force_law} run-tail "
                 "headroom)", file=sys.stderr)
-            self.geom = dataclasses.replace(self.geom, capacity=new_cap)
-            for cache in ("_pack", "_final_jit", "_frame_jit"):
-                self.__dict__.pop(cache, None)
-            self._programs.clear()
+            self._set_capacity(new_cap)
             slab, overflow = self._pack_jit()(state.pos, state.vel)
             assert int(overflow) == 0  # packing was measured exactly
         return GridCarry(slab, jnp.zeros((), jnp.int32), Monitors.zeros())
+
+    def maybe_escalate_after_drop(self, result) -> bool:
+        """Drop-detected capacity escalation hook (Engine default: False).
+
+        The auto-capacity chooser's LJ floor is calibrated to the measured
+        benchmark range (ops/grid3d_ops.py, _LJ_FLOOR_* notes); beyond it
+        — unmeasured densities, longer runs, bigger grids — attractive-law
+        clustering can still outgrow any static choice, and under-capacity
+        shows up as DROPPED particles (the monitors catch what the
+        reference's gpu.cu:109-111 silently corrupts). Auto-capacity runs
+        self-heal instead of failing at the final check: on a drop, raise
+        capacity one slot and tell the caller to re-run from the initial
+        state (full restart — a dropped particle is unrecoverable
+        mid-run). Hand-set capacities (config.grid3_capacity != None)
+        never retry: ablations and overflow tests under-provision on
+        purpose. Callers: Engine.run-style drivers and the CLI timing path
+        (harness.timed_run), each with its own bounded retry count.
+        """
+        if (self.config.grid3_capacity is not None
+                or not self._capacity_retry
+                or int(result.monitors.migrate_dropped) == 0):
+            return False
+        import sys
+
+        new_cap = self.geom.capacity + 1
+        print(
+            f"grid3d: run dropped "
+            f"{int(result.monitors.migrate_dropped)} particle(s) at "
+            f"capacity {self.geom.capacity}; escalating to {new_cap} "
+            "and re-running from the initial state", file=sys.stderr)
+        self._set_capacity(new_cap)
+        return True
+
+    def run(self, state: ParticleState, nsteps=None, savefreq: int = 0,
+            **kw):
+        """Engine.run plus the drop-detected capacity escalation retry
+        (see :meth:`maybe_escalate_after_drop`)."""
+        result = super().run(state, nsteps, savefreq, **kw)
+        for _try in range(self._DROP_RETRIES):
+            if not self.maybe_escalate_after_drop(result):
+                break
+            result = super().run(state, nsteps, savefreq, **kw)
+        return result
 
     def frame_of(self, carry: GridCarry):
         pos, _ = grid3d_ops.slab3_to_particles(

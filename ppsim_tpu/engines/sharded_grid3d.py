@@ -49,6 +49,10 @@ _FILLS = (BIG, BIG, BIG, 0.0, 0.0, 0.0, -1)
 class ShardedGrid3DEngine(Grid3DEngine):
     name = "sharded_grid3d"
     supported_ndim = (3,)
+    # No drop-detected capacity escalation: shard strip extents (ys_pad =
+    # P * ys_local below) were computed against the init-time geometry,
+    # so a mid-life capacity replace is not a supported re-trace here.
+    _capacity_retry = False
 
     def __init__(
         self,

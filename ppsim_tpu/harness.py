@@ -89,7 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid3-bin-scale", type=float, default=None,
                    help="3D grid engines: bin side / cutoff (explicit 3D form)")
     p.add_argument("--grid3-capacity", type=int, default=None,
-                   help="3D grid engines: slots per bin (explicit 3D form)")
+                   help="3D grid engines: slots per bin (explicit 3D form). "
+                        "Default auto: measured anisotropy/LJ-floor headroom "
+                        "+ drop-detected escalation; a hand value disables "
+                        "both (ablations under-provision on purpose)")
     p.add_argument("--rebin3-every", type=int, default=None,
                    help="3D grid engines: rebin cadence in steps (explicit 3D form)")
     p.add_argument("--init", default="auto", help="auto | reference | fast")
@@ -273,9 +276,21 @@ def _timed_run_segments(engine, state: ParticleState, nsteps: int,
 def timed_run(engine, state: ParticleState, nsteps: int, savefreq: int,
               chunk_steps: int = None):
     """Single-shot :func:`timed_run_repeats` (CLI path: the reference times
-    exactly one run, part1/main.cpp:118-143)."""
+    exactly one run, part1/main.cpp:118-143).
+
+    Auto-capacity engines self-heal on dropped particles here too (the CLI
+    doesn't go through Engine.run): on a drop the engine raises its slot
+    capacity and the run restarts from the initial state — the reported
+    time is the LAST (successful) attempt's, matching the contract that a
+    published number is a clean run's wall clock. Bounded retries; see
+    Grid3DEngine.maybe_escalate_after_drop."""
     result, times = timed_run_repeats(engine, state, nsteps, savefreq,
                                       repeats=1, chunk_steps=chunk_steps)
+    for _try in range(2):
+        if not engine.maybe_escalate_after_drop(result):
+            break
+        result, times = timed_run_repeats(engine, state, nsteps, savefreq,
+                                          repeats=1, chunk_steps=chunk_steps)
     return result, times[0]
 
 

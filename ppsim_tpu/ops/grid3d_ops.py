@@ -64,6 +64,29 @@ STAY3 = 13
 # rank candidate geometries against their rebin cadence in for_config.
 _REBIN_COST_FACTOR = 0.42
 
+# Auto slot capacity (config.grid3_capacity = None). Base 10 is the r1-r3
+# default, measured safe for the repulsive law at every benchmark size
+# (run max never exceeds the initial lattice packing there; engines/
+# grid3d.py auto-raises on packing overflow). The attractive LJ tail is
+# different in kind: condensation packs droplets past ANY compilable
+# capacity (the r4 occupancy curves — ab:lj_occupancy_curve rows in
+# bench/results_tpu3d.jsonl — show stored max CLIPPING probe capacities
+# of 15-16 by step ~300 at n=1M and 4.2M, while the 20.97M kernel at
+# effective cap 15 won't even compile: 145 MB scoped VMEM vs 128 physical,
+# 58 MB register spill slots). LJ therefore always runs clipped with the
+# loss-free deferral absorbing the excess; what capacity buys is keeping
+# chronic deferral below the drop threshold, and the required floor grows
+# with the number of bins (extreme-value statistics over hot pockets):
+# effective 11 passes at <= 1.09M bins (4.2M parts, 48k deferrals) but
+# DROPS 5 particles at 5.45M bins (20.97M parts), where effective 13
+# passes (deferred 10969, dropped 0, ab:lj_capacity rows). The floor
+# below encodes exactly that measured boundary; beyond the measured range
+# the engines' drop-detected escalation retry (engines/grid3d.py) is the
+# backstop.
+_AUTO3_BASE_CAPACITY = 10
+_LJ_FLOOR_BINS = 2 ** 21  # between the 1.09M-bin pass and the 5.45M drop
+_LJ_FLOOR_CAPACITY = 13  # measured-safe effective capacity at 5.45M bins
+
 # Speed-tail margin for the auto rebin cadence: collisions heat the
 # velocity tail over a 1000-step run well past the nominal grid3_vmax
 # bound (measured on TPU: max speed 5.21 at n=4.2M / density 7e-6 vs the
@@ -136,6 +159,18 @@ class Geometry3S:
                 cands.append(dict(ys=ys, xs=xs, zs=zs,
                                   bsy=bsy, bsx=bsx, bsz=bsz))
 
+        base_capacity = config.grid3_capacity
+        lj_floor = 0
+        if base_capacity is None:
+            base_capacity = _AUTO3_BASE_CAPACITY
+            # Attractive-tail capacity floor, calibrated (see the
+            # _LJ_FLOOR_* notes above). Keyed on the PHYSICAL bin count,
+            # which is geometry-invariant at fixed occupancy, so every
+            # candidate gets the same floor. Hand-set capacities skip it:
+            # ablations need to be able to under-provision on purpose.
+            if config.force_law == "lj" and n0 ** 3 >= _LJ_FLOOR_BINS:
+                lj_floor = _LJ_FLOOR_CAPACITY
+
         def geom_of(c):
             # Capacity headroom for anisotropy: the axis-factorized rebin
             # defers a mover when its destination bin is transiently full,
@@ -152,12 +187,15 @@ class Geometry3S:
             # when the lane savings exceed the capacity tax.
             ratio = b0 / min(c["bsx"], c["bsy"], c["bsz"])
             extra = min(2, max(0, math.ceil(2.0 * (ratio - 1.0) - 1e-9)))
+            capacity = base_capacity + extra
+            if lj_floor:
+                capacity = max(capacity, lj_floor)
             return cls(
                 ys=c["ys"], xs=c["xs"], zs=c["zs"],
                 xs_pad=-(-c["xs"] // sublane) * sublane,
                 zs_pad=-(-c["zs"] // lane) * lane,
                 ys_pad=c["ys"],
-                capacity=config.grid3_capacity + extra,
+                capacity=capacity,
                 bsy=c["bsy"], bsx=c["bsx"], bsz=c["bsz"],
             )
 

@@ -225,10 +225,12 @@ def test_geometry3s_snap_invariants():
         )
         # anisotropy headroom: any thin snapped axis gets extra capacity
         # slots (calibrated on TPU at n=1M and 16.8M, see
-        # Geometry3S.for_config), never less than the configured base
+        # Geometry3S.for_config), never less than the auto base (these
+        # configs are repulsive, so no LJ floor applies)
         import math as _math
+        from ppsim_tpu.ops.grid3d_ops import _AUTO3_BASE_CAPACITY
         ratio = cfg.grid3_bin_size / min(g.bsx, g.bsy, g.bsz)
-        assert g.capacity == cfg.grid3_capacity + min(
+        assert g.capacity == _AUTO3_BASE_CAPACITY + min(
             2, max(0, _math.ceil(2.0 * (ratio - 1.0) - 1e-9)))
         # capacity-weighted padded volume never exceeds the isotropic
         # fallback's (the snap only wins when lane savings beat the
@@ -370,3 +372,69 @@ def test_sharded_grid3d_conserves_particles_long_run():
     assert pos.shape[0] == cfg.num_parts
     assert int(res.monitors.migrate_dropped) == 0
     assert pos.min() >= 0.0 and pos.max() <= cfg.size
+
+
+def test_lj_capacity_floor_at_benchmark_scales():
+    """Pin the auto-capacity chooser's LJ floor to the measured boundary
+    (ops/grid3d_ops.py _LJ_FLOOR_* calibration: effective 11 passes at
+    <=1.09M bins, drops at 5.45M bins, effective 13 passes there —
+    ab:lj_capacity / ab:lj_occupancy_curve rows, bench/results_tpu3d.jsonl).
+    Update alongside any recalibration."""
+    from ppsim_tpu.ops.grid3d_ops import Geometry3S
+
+    def cap(n, law):
+        cfg = SimConfig(num_parts=n, ndim=3, density=7e-6,
+                        force_law=law, dt=1e-4 if law == "lj" else 5e-4)
+        return Geometry3S.for_config(cfg).capacity
+
+    # Below the floor threshold the LJ choice equals the repulsive one.
+    assert cap(1_048_576, "lj") == cap(1_048_576, "repulsive") == 12
+    assert cap(4_194_304, "lj") == cap(4_194_304, "repulsive") == 11
+    # At the stretch scale LJ gets the measured-safe floor; repulsive
+    # stays at the base (its run max never exceeds the lattice packing).
+    assert cap(20_971_520, "repulsive") == 11
+    assert cap(20_971_520, "lj") == 13
+    # Hand-set capacity wins over the floor (ablations under-provision
+    # on purpose).
+    hand = SimConfig(num_parts=20_971_520, ndim=3, density=7e-6,
+                     force_law="lj", dt=1e-4, grid3_capacity=9)
+    assert Geometry3S.for_config(hand).capacity in (9, 10, 11)
+
+
+def test_drop_detected_capacity_escalation(monkeypatch):
+    """Auto-capacity Grid3D runs self-heal on dropped particles: raise one
+    slot, re-run from the initial state; hand-set capacities never retry
+    (unit-level — the base run is stubbed so no 3D XLA compile happens)."""
+    import jax.numpy as jnp
+
+    from ppsim_tpu.engines import base as base_mod
+    from ppsim_tpu.engines.base import Monitors, RunResult
+    from ppsim_tpu.engines.grid3d import Grid3DEngine
+
+    def result(dropped):
+        m = Monitors(jnp.int32(0), jnp.int32(dropped), jnp.float32(0.0),
+                     jnp.int32(0))
+        return RunResult(None, None, m)
+
+    calls = []
+
+    def fake_run(self, state, nsteps=None, savefreq=0, **kw):
+        calls.append(self.geom.capacity)
+        # Drop until capacity reaches start + 2 (forces two escalations).
+        return result(0 if self.geom.capacity >= calls[0] + 2 else 3)
+
+    monkeypatch.setattr(base_mod.Engine, "run", fake_run)
+
+    auto = Grid3DEngine(SimConfig(num_parts=500, ndim=3, density=7e-6))
+    start = auto.geom.capacity
+    res = auto.run(None)
+    assert calls == [start, start + 1, start + 2]
+    assert int(res.monitors.migrate_dropped) == 0
+    assert auto.geom.capacity == start + 2
+
+    calls.clear()
+    hand = Grid3DEngine(SimConfig(num_parts=500, ndim=3, density=7e-6,
+                                  grid3_capacity=start))
+    res = hand.run(None)
+    assert calls == [start]  # no retry: the drop surfaces to check()
+    assert int(res.monitors.migrate_dropped) == 3

@@ -87,7 +87,7 @@ def test_cli_grid_flags_route_to_active_family():
     assert cfg.grid3_capacity == 9  # explicit spelling wins
 
     cfg = config_from_args(p.parse_args(["--grid-capacity", "7"]))
-    assert cfg.grid_capacity == 7 and cfg.grid3_capacity == 10
+    assert cfg.grid_capacity == 7 and cfg.grid3_capacity is None
 
     cfg = config_from_args(p.parse_args(["--grid-rebin-mode", "axes"]))
     assert cfg.grid_rebin_mode == "axes"
@@ -263,3 +263,25 @@ def test_readme_lists_every_registered_engine():
         readme = f.read()
     for name in engine_names():
         assert f"`{name}`" in readme, f"{name} missing from README"
+
+
+def test_timed_run_escalation_retry(monkeypatch):
+    """The CLI timing path re-runs after a drop-detected capacity
+    escalation (Engine.run's retry does not cover timed_run)."""
+    from ppsim_tpu import harness
+
+    attempts = []
+
+    class Eng:
+        def maybe_escalate_after_drop(self, result):
+            return result == "dropped"
+
+    def fake_repeats(engine, state, nsteps, savefreq, repeats=1,
+                     chunk_steps=None):
+        attempts.append(nsteps)
+        return ("dropped" if len(attempts) == 1 else "clean"), [1.5]
+
+    monkeypatch.setattr(harness, "timed_run_repeats", fake_repeats)
+    result, seconds = harness.timed_run(Eng(), None, 10, 0)
+    assert result == "clean" and seconds == 1.5
+    assert attempts == [10, 10]
