@@ -31,6 +31,10 @@ def main(argv=None) -> int:
     ap.add_argument("--engine", default="pallas")
     ap.add_argument("--chunk-steps", type=int, default=None)
     ap.add_argument("--cadences", default="10,11")
+    ap.add_argument("--ndim", type=int, default=2, choices=(2, 3))
+    ap.add_argument("--density", type=float, default=None)
+    ap.add_argument("--force-law", default="repulsive")
+    ap.add_argument("--dt", type=float, default=None)
     ap.add_argument("--out", default=None, help="append JSONL records here")
     args = ap.parse_args(argv)
 
@@ -39,10 +43,25 @@ def main(argv=None) -> int:
     from ppsim_tpu.harness import timed_run_repeats
     from ppsim_tpu.initlib import init_particles
 
+    if args.ndim == 3 and args.engine == "pallas":
+        args.engine = "pallas3d"
+
     records = []
     for cad_s in args.cadences.split(","):
         cad = int(cad_s)
-        config = SimConfig(num_parts=args.n, rebin_every=cad)
+        extra = {}
+        if args.density is not None:
+            extra["density"] = args.density
+        if args.dt is not None:
+            extra["dt"] = args.dt
+        if args.ndim == 3:
+            config = SimConfig(num_parts=args.n, ndim=3,
+                               force_law=args.force_law,
+                               rebin3_every=cad, **extra)
+        else:
+            config = SimConfig(num_parts=args.n,
+                               force_law=args.force_law,
+                               rebin_every=cad, **extra)
         state = init_particles(config, seed=42, method="fast")
         engine = get_engine(args.engine, config)
         result, times = timed_run_repeats(
@@ -57,10 +76,16 @@ def main(argv=None) -> int:
             print(f"# cadence {cad}: monitor tripped: {e}", flush=True)
         best = min(times)
         drift = cad * float(result.monitors.max_speed) * config.dt
-        slack = (engine.geom.bin_size - config.cutoff) / 2.0
+        g = engine.geom
+        if args.ndim == 3:
+            slack = (min(g.bsx, g.bsy, g.bsz) - config.cutoff) / 2.0
+        else:
+            slack = (g.bin_size - config.cutoff) / 2.0
         rec = {
             "ab": "rebin_cadence",
             "engine": args.engine,
+            "ndim": args.ndim,
+            "force_law": args.force_law,
             "rebin_every": cad,
             "num_parts": args.n,
             "nsteps": args.steps,
