@@ -126,6 +126,23 @@ class SimConfig:
     # tightest axis via Geometry3S.cadence (snapped axes have less slack
     # than the isotropic default's 0.01).
     rebin3_every: Optional[int] = None
+    # Capacity-phase repack (3D): when the t=0 lattice packs more particles
+    # into one bin than the chooser's run capacity (a step-0 transient — the
+    # dynamics disperse the lattice within tens of steps), the timed drivers
+    # run a short prologue at the raised packing capacity and then REPACK the
+    # slab down to the run capacity (lane work scales ~capacity², so the
+    # whole-run raise was a measured ~19-22% tax at the 20.97M 3D stretch
+    # scale — r4 verdict #1). None = auto (on for laws whose run-tail
+    # occupancy never exceeds the chooser capacity, i.e. repulsive; off for
+    # LJ, whose demand grows over the run); False = never (ablations);
+    # True = force-enable.
+    grid3_repack: Optional[bool] = None
+    # Steps before the first repack attempt (None = auto: the measured
+    # lattice-dispersal scale, rounded up to the rebin cadence). Attempts
+    # repeat at later program boundaries while steps_done stays within the
+    # drivers' attempt window; a failed attempt (the low-capacity pack would
+    # still overflow) keeps the run at the packing capacity — never drops.
+    grid3_prologue_steps: Optional[int] = None
     # Rebin cadence in steps. Stale binning stays correct while accumulated
     # drift satisfies rebin_every * max|v| * dt <= (bin_side - cutoff) / 2;
     # monitored at runtime via max_speed.
@@ -269,6 +286,9 @@ class SimConfig:
             raise ValueError("rebin3_every must be >= 1 (or None for auto)")
         if self.grid3_capacity is not None and self.grid3_capacity < 1:
             raise ValueError("grid3_capacity must be >= 1 (or None for auto)")
+        if self.grid3_prologue_steps is not None and self.grid3_prologue_steps < 1:
+            raise ValueError(
+                "grid3_prologue_steps must be >= 1 (or None for auto)")
         if self.force_law not in ("repulsive", "lj"):
             raise ValueError(
                 f"unknown force_law {self.force_law!r}; have 'repulsive', 'lj'"

@@ -142,6 +142,15 @@ class Engine:
     def check(self, result: "RunResult") -> None:
         result.check(self.config, capacity=self.capacity)
 
+    def repack_plan(self, nsteps: int):
+        """Capacity-phase support for the timed drivers: ``None`` (default),
+        or ``(min_steps, max_steps)`` — the harness then attempts a
+        slot-capacity drop (``attempt_repack``/``commit_repack``) at the
+        first program boundary >= min_steps, retrying at later boundaries
+        while steps_done <= max_steps. Consult AFTER init_carry (the
+        packing measurement). Only Grid3DEngine implements the hooks."""
+        return None
+
     def maybe_escalate_after_drop(self, result: "RunResult") -> bool:
         """Self-healing hook: engines that can grow their slot capacity
         after a dropped-particle run override this to raise capacity and
@@ -171,12 +180,21 @@ class Engine:
         return carry.monitors
 
     # ---- common driver -----------------------------------------------------
+    def _jit_key(self) -> tuple:
+        """Extra program-cache key component for engines whose traced
+        closures depend on MUTABLE static geometry (Grid3DEngine's capacity
+        phases: the same (nsteps, savefreq) program differs per slot
+        capacity). Default: geometry never changes, one cache entry."""
+        return ()
+
     def final_state_jit(self, carry) -> ParticleState:
         """Jitted final_state (eager op-by-op extraction costs seconds on
         relayed TPUs; never extract state eagerly on the timed path)."""
-        if not hasattr(self, "_final_jit"):
-            self._final_jit = jax.jit(self.final_state)
-        return self._final_jit(carry)
+        cache = self.__dict__.setdefault("_final_jits", {})
+        key = self._jit_key()
+        if key not in cache:
+            cache[key] = jax.jit(self.final_state)
+        return cache[key](carry)
 
     # Engines whose init_carry materializes FRESH buffers (the slab packers)
     # set this True so the run program donates its input carry — at 16.8M
@@ -187,7 +205,7 @@ class Engine:
     donate_run_carry: bool = False
 
     def _program(self, nsteps: int, savefreq: int):
-        key = (nsteps, savefreq)
+        key = (nsteps, savefreq) + self._jit_key()
         if key not in self._programs:
             self._programs[key] = jax.jit(
                 functools.partial(self._run_impl, nsteps=nsteps, savefreq=savefreq),
@@ -223,7 +241,7 @@ class Engine:
         return carry
 
     def _segment_program(self, length: int, phase: int):
-        key = ("segment", length, phase)
+        key = ("segment", length, phase) + self._jit_key()
         if key not in self._programs:
             self._programs[key] = jax.jit(
                 functools.partial(self._segment_impl, length=length, phase=phase),
@@ -233,9 +251,11 @@ class Engine:
 
     def _frame_program(self):
         """Jitted frame_of (same rationale as final_state_jit)."""
-        if not hasattr(self, "_frame_jit"):
-            self._frame_jit = jax.jit(self.frame_of)
-        return self._frame_jit
+        cache = self.__dict__.setdefault("_frame_jits", {})
+        key = self._jit_key()
+        if key not in cache:
+            cache[key] = jax.jit(self.frame_of)
+        return cache[key]
 
     @staticmethod
     def saved_segment_schedule(nsteps: int, savefreq: int,

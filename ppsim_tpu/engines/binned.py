@@ -36,6 +36,9 @@ __all__ = ["BinnedEngine"]
 class BinnedEngine(Engine):
     name = "binned"
 
+    # profiling.phase_times' trace-time variant seam (see OracleEngine).
+    _phase_disable = None
+
     def __init__(self, config):
         super().__init__(config)
         self.geom = GridGeometry.square(config)
@@ -64,8 +67,13 @@ class BinnedEngine(Engine):
         row = sorted_id // geom.ncols
         col = sorted_id - row * geom.ncols
 
-        accel = self.accel_of(pos, row, col, grid)
-        pos, vel = verlet_step(pos, vel, accel, cfg.dt, cfg.size)
+        off = self._phase_disable
+        if off in ("force", "force+move"):
+            accel = jnp.zeros_like(pos)
+        else:
+            accel = self.accel_of(pos, row, col, grid)
+        if off != "force+move":
+            pos, vel = verlet_step(pos, vel, accel, cfg.dt, cfg.size)
 
         z = jnp.zeros((), jnp.int32)
         monitors = carry.monitors.merge(

@@ -61,6 +61,8 @@ class Geometry3D:
 
 @register_engine
 class Binned3DEngine(Engine):
+    # profiling.phase_times' trace-time variant seam (see OracleEngine).
+    _phase_disable = None
     name = "binned3d"
     supported_ndim = (3,)
 
@@ -91,7 +93,12 @@ class Binned3DEngine(Engine):
         accel_vec = accel_vec_fn_for(cfg)
         cap_iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
         accel = jnp.zeros_like(pos)
-        for dxb in (-1, 0, 1):
+        # profiling.phase_times' trace-time variant seam (see OracleEngine;
+        # the class attr comes from the 2D BinnedEngine when subclassed —
+        # getattr keeps this standalone).
+        off = getattr(self, "_phase_disable", None)
+        stencil = () if off in ("force", "force+move") else (-1, 0, 1)
+        for dxb in stencil:
             for dyb in (-1, 0, 1):
                 for dzb in (-1, 0, 1):
                     nxb, nyb, nzb = bx + dxb, by + dyb, bz + dzb
@@ -108,7 +115,8 @@ class Binned3DEngine(Engine):
                     npos = grid.slot_pos[idx]  # (N, cap, 3)
                     accel = accel + accel_vec(npos - pos[:, None, :]).sum(axis=1)
 
-        pos, vel = verlet_step(pos, vel, accel, cfg.dt, cfg.size)
+        if off != "force+move":
+            pos, vel = verlet_step(pos, vel, accel, cfg.dt, cfg.size)
 
         z = jnp.zeros((), jnp.int32)
         monitors = carry.monitors.merge(

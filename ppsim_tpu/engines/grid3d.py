@@ -73,9 +73,15 @@ class Grid3DEngine(GridEngine):
     def check(self, result: RunResult) -> None:
         cfg = self.config
         mx = int(result.monitors.max_bin_count)
-        if mx > self.capacity:
+        # Gate against the LARGEST capacity any phase of the run used: with
+        # the capacity-phase repack the prologue legitimately reaches the
+        # packing capacity before the engine drops to the run capacity
+        # (occupancy past the post-repack capacity is physically impossible
+        # — the rebin defers instead — so this loses no detection).
+        cap = max(self.capacity, getattr(self, "_pack_capacity", 0) or 0)
+        if mx > cap:
             raise RuntimeError(
-                f"bin overflow: max occupancy {mx} > capacity {self.capacity}"
+                f"bin overflow: max occupancy {mx} > capacity {cap}"
             )
         if int(result.monitors.migrate_dropped):
             raise RuntimeError(
@@ -104,12 +110,22 @@ class Grid3DEngine(GridEngine):
         )
 
     # ----------------------------------------------------------- protocol
+    def _jit_key(self) -> tuple:
+        # Program/final/frame caches are keyed by slot capacity: the engine
+        # flips between the PACKING capacity (init_carry's auto-raise) and
+        # the chooser's RUN capacity (the repack prologue) within one run,
+        # and escalates after drops — each is a distinct static geometry.
+        return (self.geom.capacity,)
+
     def _pack_jit(self):
-        if not hasattr(self, "_pack"):
-            self._pack = jax.jit(
-                lambda p, v: grid3d_ops.slab3_from_particles(p, v, self.geom)
+        cache = self.__dict__.setdefault("_packs", {})
+        cap = self.geom.capacity
+        if cap not in cache:
+            geom = self.geom  # bind NOW: self.geom mutates across phases
+            cache[cap] = jax.jit(
+                lambda p, v: grid3d_ops.slab3_from_particles(p, v, geom)
             )
-        return self._pack
+        return cache[cap]
 
     # Run-tail headroom on top of the measured initial packing, keyed on
     # the force law: the repulsive law's measured run max never exceeds its
@@ -120,25 +136,52 @@ class Grid3DEngine(GridEngine):
     # (repulsive) / `12` (LJ) at the stretch scale.
     _TAIL_SLOTS = {"repulsive": 0, "lj": 1}
 
-    # Drop-detected escalation (run() below) is safe where re-tracing
-    # against a new static geometry only needs the per-instance jit caches
-    # cleared. The sharded 3D engine opts out: its shard extents were
-    # computed against the init-time geometry.
+    # Drop-detected escalation (run() below): a capacity replace only
+    # changes the slab's slot extent — every per-capacity program re-traces
+    # through the keyed caches (_jit_key), including the sharded engine's
+    # shard_map closures (strip extents depend on ys and P, never on
+    # capacity).
     _capacity_retry = True
     _DROP_RETRIES = 2
+    # Capacity-phase repack support (repack_plan below). The sharded 3D
+    # engine opts out: its repack program would run the global pack under
+    # plain jit, losing the strip sharding mid-run.
+    _repack_ok = True
+    # First repack attempt (steps), when config.grid3_prologue_steps is
+    # None: the t=0 lattice disperses at ~|v|·dt per step against a ~2
+    # cutoff bin side, so the hot bin drains within a few tens of steps
+    # (measured on TPU at 20.97M: packing 12 -> max occupancy 11 within the
+    # first 40 steps — bench/ab_repack.py discovery). Attempts repeat at
+    # later program boundaries until _REPACK_MAX_STEPS.
+    _REPACK_MIN_STEPS = 40
+    _REPACK_MAX_STEPS = 240
 
     def _set_capacity(self, new_cap: int) -> None:
-        """Rebuild the geometry at ``new_cap`` slots and clear every
-        per-instance jit cache — they are traced against the old static
-        geometry. Candidate-choice costs are not re-scored: capacity is a
-        pure headroom axis here (the snap chooser already priced the bin
-        SHAPE)."""
+        """Flip the geometry to ``new_cap`` slots. Cheap: every compiled
+        artifact is cached per capacity (_jit_key), so phase flips within a
+        run never re-trace. Candidate-choice costs are not re-scored:
+        capacity is a pure headroom axis here (the snap chooser already
+        priced the bin SHAPE)."""
         self.geom = dataclasses.replace(self.geom, capacity=new_cap)
-        for cache in ("_pack", "_final_jit", "_frame_jit"):
-            self.__dict__.pop(cache, None)
-        self._programs.clear()
 
     def init_carry(self, state: ParticleState) -> GridCarry:
+        from ppsim_tpu.engines.grid import seed_pack_monitors
+
+        if getattr(self, "_pack_capacity", None) is not None:
+            # Steady state (every timed repeat): the packing capacity is
+            # known exactly from the first call, so pack straight at it with
+            # NO device->host sync inside the timed region (the overflow
+            # still rides the monitors, belt-and-braces).
+            if self.geom.capacity != self._pack_capacity:
+                self._set_capacity(self._pack_capacity)
+            slab, overflow = self._pack_jit()(state.pos, state.vel)
+            return GridCarry(slab, jnp.zeros((), jnp.int32),
+                             seed_pack_monitors(overflow, self.capacity))
+
+        # First call (the warmup path in the timed drivers): measure the
+        # initial packing, auto-raising once if the lattice packs past the
+        # chooser capacity. The one int(overflow) sync here happens outside
+        # any timer.
         slab, overflow = self._pack_jit()(state.pos, state.vel)
         if int(overflow):
             # Auto-raise: the initial lattice packing is measured exactly
@@ -157,7 +200,74 @@ class Grid3DEngine(GridEngine):
             self._set_capacity(new_cap)
             slab, overflow = self._pack_jit()(state.pos, state.vel)
             assert int(overflow) == 0  # packing was measured exactly
-        return GridCarry(slab, jnp.zeros((), jnp.int32), Monitors.zeros())
+        self._pack_capacity = self.geom.capacity
+        return GridCarry(slab, jnp.zeros((), jnp.int32),
+                         seed_pack_monitors(overflow, self.capacity))
+
+    # --------------------------------------------- capacity-phase repack
+    # The t=0 lattice packing is a transient: at 20.97M 3D repulsive the
+    # shuffled lattice packs 12 into one bin while the measured-safe RUN
+    # capacity is 11, and lane work scales ~capacity² — the whole-run raise
+    # was a 22% throughput regression (175.6M vs 224.4M p-s/s at 16.8M; r4
+    # verdict #1). The reference's analog is its static MAX_PTS_PER_BIN
+    # tuning (part3/gpu.cu:10, Table 2). The timed drivers therefore run a
+    # short prologue at the packing capacity and then REPACK the slab down
+    # to the chooser capacity once the lattice has dispersed: the repack is
+    # storage relocation only (an early rebin: global positions recomputed,
+    # re-binned by current position), verified loss-free by its overflow
+    # scalar before the switch is committed.
+    def repack_plan(self, nsteps: int):
+        cfg = self.config
+        pack_cap = getattr(self, "_pack_capacity", None)
+        if pack_cap is None:
+            return None  # init_carry not yet run
+        target = self._repack_target()
+        enabled = cfg.grid3_repack
+        if enabled is None:
+            enabled = (self._TAIL_SLOTS.get(cfg.force_law, 1) == 0)
+        if (not enabled or not self._repack_ok or target >= pack_cap):
+            return None
+        K = self.rebin_every
+        min_s = cfg.grid3_prologue_steps or self._REPACK_MIN_STEPS
+        min_s = -(-min_s // K) * K
+        if min_s >= nsteps:
+            return None
+        max_s = max(min_s, min(nsteps // 2, self._REPACK_MAX_STEPS))
+        return (min_s, max_s)
+
+    def _repack_target(self) -> int:
+        # The chooser's capacity for this config — re-derived, not cached,
+        # so drop-escalation (which must never be repacked away) can bump
+        # it by raising _escalated_floor.
+        base = Geometry3S.for_config(self.config).capacity
+        return max(base, getattr(self, "_escalated_floor", 0))
+
+    def attempt_repack(self, carry: GridCarry):
+        """Build (cached) and run the repack program from the CURRENT
+        capacity to the run target. Returns ``(new_carry, overflow)`` —
+        the caller commits only after confirming ``int(overflow) == 0``
+        (the low-capacity pack drops on overflow, so an overflowing repack
+        is discarded and the run continues at the packing capacity). Does
+        not donate: the input carry must survive a failed attempt."""
+        to_cap = self._repack_target()
+        key = ("repack", self.geom.capacity, to_cap)
+        if key not in self._programs:
+            from_geom = self.geom
+            to_geom = dataclasses.replace(self.geom, capacity=to_cap)
+            n = self.config.num_parts
+
+            def impl(c):
+                pos, vel = grid3d_ops.slab3_to_particles(c.slab, from_geom, n)
+                slab, overflow = grid3d_ops.slab3_from_particles(
+                    pos, vel, to_geom)
+                return GridCarry(slab, c.step, c.monitors), overflow
+
+            self._programs[key] = jax.jit(impl)
+        return self._programs[key](carry)
+
+    def commit_repack(self) -> None:
+        """Flip the engine to the run capacity after a verified repack."""
+        self._set_capacity(self._repack_target())
 
     def maybe_escalate_after_drop(self, result) -> bool:
         """Drop-detected capacity escalation hook (Engine default: False).
@@ -188,6 +298,13 @@ class Grid3DEngine(GridEngine):
             f"{int(result.monitors.migrate_dropped)} particle(s) at "
             f"capacity {self.geom.capacity}; escalating to {new_cap} "
             "and re-running from the initial state", file=sys.stderr)
+        # The escalated capacity is a measured RUN demand: raise the repack
+        # target so the retry can never repack back down to the capacity
+        # that just dropped, and the packing capacity so init_carry packs
+        # at least this high.
+        self._escalated_floor = new_cap
+        if getattr(self, "_pack_capacity", None) is not None:
+            self._pack_capacity = max(self._pack_capacity, new_cap)
         self._set_capacity(new_cap)
         return True
 

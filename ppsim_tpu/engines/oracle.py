@@ -68,13 +68,25 @@ class OracleEngine(Engine):
     name = "oracle"
     supported_ndim = (2, 3)
 
+    # profiling.phase_times' trace-time variant seam: "force" zeroes the
+    # accelerations (the integrator still runs on zeros, so its cost stays
+    # in the variant); "force+move" also skips the integrator (the vecmp
+    # t1..t4 analog for the particle-list engines, part1/vecmp.cpp:25-32).
+    _phase_disable = None
+
     def step_carry(self, carry: Carry) -> Carry:
         cfg = self.config
-        if cfg.ndim == 2:
+        off = self._phase_disable
+        if off in ("force", "force+move"):
+            accel = jnp.zeros_like(carry.pos)
+        elif cfg.ndim == 2:
             accel = all_pairs_accel(carry.pos, accel_fn_for(cfg))
         else:
             accel = all_pairs_accel_vec(carry.pos, accel_vec_fn_for(cfg))
-        pos, vel = verlet_step(carry.pos, carry.vel, accel, cfg.dt, cfg.size)
+        if off == "force+move":
+            pos, vel = carry.pos, carry.vel
+        else:
+            pos, vel = verlet_step(carry.pos, carry.vel, accel, cfg.dt, cfg.size)
         return Carry(pos, vel, carry.pid, carry.monitors)
 
     # Oracle never permutes particles; skip the id scatter.

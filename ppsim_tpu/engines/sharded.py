@@ -68,6 +68,8 @@ class ShardCarry(NamedTuple):
 @register_engine
 class ShardedEngine(Engine):
     name = "sharded"
+    # profiling.phase_times' trace-time variant seam (see _local_step).
+    _phase_disable = None
 
     def __init__(
         self,
@@ -210,12 +212,22 @@ class ShardedEngine(Engine):
         )
 
         # --- forces + move -------------------------------------------------
-        accel = stencil_accel(
-            pos, lrow, col, slot_pos, geom, cfg.cutoff, cfg.min_r, cfg.mass
-        )
-        moved_pos, moved_vel = verlet_step(pos, vel, accel, cfg.dt, cfg.size)
-        pos = jnp.where(alive[:, None], moved_pos, pos)
-        vel = jnp.where(alive[:, None], moved_vel, vel)
+        # profiling.phase_times' trace-time variant seam: the local step is
+        # bound into a shard_map closure at construction, so the flag is
+        # consulted at trace time (each phase_times variant jits a fresh
+        # scan). "force" zeroes accelerations; "force+move" also skips the
+        # integrator — the migration machinery below still runs either way.
+        off = getattr(self, "_phase_disable", None)
+        if off in ("force", "force+move"):
+            accel = jnp.zeros_like(pos)
+        else:
+            accel = stencil_accel(
+                pos, lrow, col, slot_pos, geom, cfg.cutoff, cfg.min_r, cfg.mass
+            )
+        if off != "force+move":
+            moved_pos, moved_vel = verlet_step(pos, vel, accel, cfg.dt, cfg.size)
+            pos = jnp.where(alive[:, None], moved_pos, pos)
+            vel = jnp.where(alive[:, None], moved_vel, vel)
 
         # --- migration -----------------------------------------------------
         r_g2 = jnp.clip((pos[:, 0] * inv).astype(jnp.int32), 0, self.global_rows - 1)

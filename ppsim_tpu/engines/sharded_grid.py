@@ -334,15 +334,13 @@ class ShardedGridEngine(GridEngine):
         )
 
     def init_carry(self, state: ParticleState):
-        from ppsim_tpu.engines.base import Monitors
-        from ppsim_tpu.engines.grid import GridCarry
+        from ppsim_tpu.engines.grid import GridCarry, seed_pack_monitors
 
         slab, overflow = self._pack_jit()(state.pos, state.vel)
-        if int(overflow):
-            raise RuntimeError(
-                f"initial bin occupancy exceeds capacity "
-                f"{self.capacity} by {int(overflow)}"
-            )
+        # Pack overflow is deferred into the monitors (check() raises
+        # post-run) — an eager int(overflow) here is a device->host sync
+        # inside the timed region; see GridEngine.init_carry.
         sh = NamedSharding(self.mesh, P(None, "x", None))
         slab = SlabState(*(jax.device_put(f, sh) for f in slab))
-        return GridCarry(slab, jnp.zeros((), jnp.int32), Monitors.zeros())
+        return GridCarry(slab, jnp.zeros((), jnp.int32),
+                         seed_pack_monitors(overflow, self.capacity))

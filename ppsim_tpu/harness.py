@@ -95,6 +95,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "both (ablations under-provision on purpose)")
     p.add_argument("--rebin3-every", type=int, default=None,
                    help="3D grid engines: rebin cadence in steps (explicit 3D form)")
+    p.add_argument("--grid3-repack", type=int, default=None, choices=(0, 1),
+                   help="3D grid engines: capacity-phase repack (prologue at "
+                        "the t=0 packing capacity, verified repack down to "
+                        "the run capacity). Default auto: on for the "
+                        "repulsive law, off for lj")
+    p.add_argument("--grid3-prologue-steps", type=int, default=None,
+                   help="3D grid engines: steps before the first repack "
+                        "attempt (default auto)")
     p.add_argument("--init", default="auto", help="auto | reference | fast")
     p.add_argument("--check", action="store_true",
                    help="run the absmin/absavg correctness checker on the run's frames")
@@ -173,6 +181,19 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
     # reference's cudaMemcpy before start_time (part3/main.cu:120-125).
     state = jax.device_put(state)
     warm_carry = engine.init_carry(state)
+    if savefreq <= 0:
+        # Capacity-phase repack (Grid3DEngine.repack_plan): prologue at the
+        # packing capacity, then a verified repack down to the run capacity
+        # — consulted after init_carry (the packing measurement).
+        plan = engine.repack_plan(nsteps)
+        if plan is not None:
+            if chunk_steps < nsteps:
+                segs = [chunk_steps] * n_chunks
+            else:
+                min_s, _ = plan
+                segs = [min_s, nsteps - min_s]
+            return _timed_run_phased(engine, state, warm_carry, segs,
+                                     nsteps, repeats, plan)
     program = engine._program(chunk_steps, savefreq)
     compiled = program.lower(warm_carry).compile()
     # Warm EVERY op the timed region will run, including the scalar sync
@@ -201,6 +222,65 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
     return RunResult(final, frames_np, monitors), times
 
 
+def _timed_run_phased(engine, state: ParticleState, warm_carry, segs,
+                      nsteps: int, repeats: int, plan):
+    """Unsaved timed runs with a capacity-phase repack: ``segs`` unsaved
+    segment programs, with a slot-capacity drop attempted at eligible
+    program boundaries (``plan = (min_steps, max_steps)`` from
+    engine.repack_plan). The warmup pass doubles as DISCOVERY — runs are
+    deterministic, so the boundary where the repack first fits (its packer
+    reports zero overflow) in warmup is where it fits in every timed
+    repeat; the timed replay still verifies the overflow scalar before
+    committing (one device->host round trip, the honest cost of the
+    switch). A repack that never fits leaves the whole run at the packing
+    capacity — exactly the pre-repack behavior."""
+    from ppsim_tpu.engines.base import RunResult
+
+    min_s, max_s = plan
+    probe = jax.jit(lambda st: st.pos.ravel()[0])
+
+    def run_schedule(carry, switch_at, discover: bool):
+        done = 0
+        switched_after = None
+        attempted = False
+        for ln in segs:
+            carry = engine._segment_program(
+                ln, engine._segment_phase(done))(carry)
+            done += ln
+            want = (
+                (discover and switched_after is None and done < nsteps
+                 and done >= min_s and (done <= max_s or not attempted))
+                or (not discover and done == switch_at)
+            )
+            if want:
+                attempted = True
+                cand, ovf = engine.attempt_repack(carry)
+                if int(ovf) == 0:
+                    engine.commit_repack()
+                    carry = cand
+                    switched_after = done
+        return carry, switched_after
+
+    # Warmup/discovery pass (outside any timer): compiles every program the
+    # timed replay will run — prologue segments at the packing capacity,
+    # the repack, and the post-switch segments at the run capacity.
+    carry, switch_at = run_schedule(warm_carry, None, discover=True)
+    np.asarray(probe(engine.final_state_jit(carry)))
+    del carry, warm_carry
+
+    times = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        carry = engine.init_carry(state)
+        carry, _ = run_schedule(carry, switch_at, discover=False)
+        final = engine.final_state_jit(carry)
+        np.asarray(probe(final))
+        times.append(time.perf_counter() - t0)
+
+    monitors = jax.tree.map(np.asarray, engine.monitors_of(carry))
+    return RunResult(final, None, monitors), times
+
+
 def _timed_run_segments(engine, state: ParticleState, nsteps: int,
                         savefreq: int, repeats: int, max_seg: int):
     """Chunked SAVED runs: each compiled program is an UNSAVED segment
@@ -213,6 +293,11 @@ def _timed_run_segments(engine, state: ParticleState, nsteps: int,
     (saves happen inside its timed loop, part1/main.cpp:132-137)."""
     schedule = engine.saved_segment_schedule(nsteps, savefreq, max_seg)
     state = jax.device_put(state)
+    warm0 = engine.init_carry(state)
+    plan = engine.repack_plan(nsteps)
+    if plan is not None:
+        return _timed_run_segments_phased(engine, state, warm0, schedule,
+                                          nsteps, repeats, plan)
     keys, progs = [], {}
     done = 0
     for ln, _cap in schedule:
@@ -237,7 +322,7 @@ def _timed_run_segments(engine, state: ParticleState, nsteps: int,
     probe = jax.jit(lambda st: st.pos.ravel()[0])
     # Warm every distinct program once, chained (segment programs donate
     # their input carry, so each output feeds the next warm call).
-    warm = engine.init_carry(state)
+    warm = warm0
     for key in dict.fromkeys(keys):
         warm = progs[key](warm)
     np.asarray(frame_jit(warm))
@@ -269,6 +354,69 @@ def _timed_run_segments(engine, state: ParticleState, nsteps: int,
     monitors = jax.tree.map(np.asarray, engine.monitors_of(carry))
     from ppsim_tpu.engines.base import RunResult
 
+    return RunResult(final, np.stack(frames) if frames else None,
+                     monitors), times
+
+
+def _timed_run_segments_phased(engine, state: ParticleState, warm_carry,
+                               schedule, nsteps: int, repeats: int, plan):
+    """Chunked SAVED runs with the capacity-phase repack: the saved segment
+    schedule (host-extracted frames, see _timed_run_segments) with a
+    slot-capacity drop attempted at eligible segment boundaries. The warmup
+    pass executes the FULL schedule once as discovery (deterministic runs:
+    the boundary where the repack fits in warmup is where it fits in every
+    repeat) — costlier than the distinct-programs warm of the no-plan path,
+    but it compiles and warms both capacity tiers end-to-end. Note the
+    repack here can land mid-rebin-cadence (saved boundaries follow the
+    save cadence): that is safe — a repack IS a rebin (storage relocation
+    by current position; stale-drift resets conservatively)."""
+    from ppsim_tpu.engines.base import RunResult
+
+    min_s, max_s = plan
+    probe = jax.jit(lambda st: st.pos.ravel()[0])
+
+    def run_schedule(carry, switch_at, discover: bool):
+        done = 0
+        switched_after = None
+        attempted = False
+        frames = []
+        pending = None  # overlap: pull frame k after dispatching segment k+1
+        for ln, cap in schedule:
+            carry = engine._segment_program(
+                ln, engine._segment_phase(done))(carry)
+            done += ln
+            if ((discover and switched_after is None and done < nsteps
+                 and done >= min_s and (done <= max_s or not attempted))
+                    or (not discover and done == switch_at)):
+                attempted = True
+                cand, ovf = engine.attempt_repack(carry)
+                if int(ovf) == 0:
+                    engine.commit_repack()
+                    carry = cand
+                    switched_after = done
+            if pending is not None:
+                frames.append(np.asarray(pending))
+                pending = None
+            if cap:
+                pending = engine._frame_program()(carry)
+        if pending is not None:
+            frames.append(np.asarray(pending))
+        return carry, frames, switched_after
+
+    carry, _, switch_at = run_schedule(warm_carry, None, discover=True)
+    np.asarray(probe(engine.final_state_jit(carry)))
+    del carry, warm_carry
+
+    times = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        carry = engine.init_carry(state)
+        carry, frames, _ = run_schedule(carry, switch_at, discover=False)
+        final = engine.final_state_jit(carry)
+        np.asarray(probe(final))
+        times.append(time.perf_counter() - t0)
+
+    monitors = jax.tree.map(np.asarray, engine.monitors_of(carry))
     return RunResult(final, np.stack(frames) if frames else None,
                      monitors), times
 
@@ -322,6 +470,10 @@ def config_from_args(args) -> SimConfig:
         )
         if v is not None
     }
+    if getattr(args, "grid3_repack", None) is not None:
+        grid_kw["grid3_repack"] = bool(args.grid3_repack)
+    if getattr(args, "grid3_prologue_steps", None) is not None:
+        grid_kw["grid3_prologue_steps"] = args.grid3_prologue_steps
     if getattr(args, "grid_rebin_mode", None) is not None:
         grid_kw["grid_rebin_mode"] = args.grid_rebin_mode
     if getattr(args, "grid_snap_lanes", None) is not None:

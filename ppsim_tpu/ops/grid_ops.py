@@ -191,7 +191,9 @@ def slab_from_particles(pos, vel, geom: SlabGeometry):
     The per-run analog of ``init_simulation``'s initial binning
     (part1/serial.cpp:76-88): sort by bin, rank within bin, scatter into slab
     planes. One-time cost. Returns (SlabState, overflow_count) — overflow
-    means the initial occupancy exceeded ``capacity`` (caller must raise).
+    means the initial occupancy exceeded ``capacity``; engines seed it into
+    the carry's monitors (engines/grid.seed_pack_monitors) so the post-run
+    check raises without an eager device->host sync in the timed region.
     """
     from ppsim_tpu.ops.binning import sort_by_bin
 

@@ -85,12 +85,7 @@ def phase_times(engine, state: ParticleState, steps: int = 50) -> Dict[str, floa
     from ppsim_tpu.engines.grid import GridEngine
 
     if not isinstance(engine, GridEngine):
-        raise TypeError(
-            "phase_times supports the slab-family engines (grid/pallas/"
-            "grid3d/pallas3d and their sharded variants); the sort-binned "
-            "engines rebuild bins inside the fused step and have no "
-            "separable rebin phase"
-        )
+        return _particle_phase_times(engine, state, steps)
 
     carry = engine.init_carry(state)
     t_full = timeit_scan(engine.step_carry, carry, 10, 10 + steps)
@@ -129,6 +124,48 @@ def phase_times(engine, state: ParticleState, steps: int = 50) -> Dict[str, floa
         "force+move": force_move,
         "rebin": rebin,
         "overhead": max(t_full - force_move - rebin, 0.0),
+    }
+
+
+def _particle_phase_times(engine, state: ParticleState,
+                          steps: int = 50) -> Dict[str, float]:
+    """Phase split for the particle-list engines (oracle/binned/binned3d/
+    sharded): force vs move via the same trace-time ``_phase_disable``
+    seam the sharded slab engines use. These engines have no separable
+    rebin phase (bins rebuild inside the fused sort step — the vecmp
+    strategy, part1/vecmp.cpp:88-123), so the sort/binning cost lands in
+    "other" along with scan/dispatch overhead. The "force" variant zeroes
+    accelerations but still integrates (so the integrator's cost cancels
+    in the subtraction); "force+move" also skips the integrator, isolating
+    the move cost without letting XLA dead-code-eliminate the force sweep.
+    """
+    if not hasattr(engine, "_phase_disable"):
+        raise TypeError(
+            f"engine {engine.name!r} has no phase seam: phase_times needs "
+            "either a slab-family engine or a particle-list engine with "
+            "the _phase_disable trace-time flag"
+        )
+
+    carry = engine.init_carry(state)
+    t_full = timeit_scan(engine.step_carry, carry, 10, 10 + steps)
+
+    def timed_without(phase: str) -> float:
+        engine._phase_disable = phase
+        try:
+            return timeit_scan(engine.step_carry, carry, 10, 10 + steps)
+        finally:
+            engine._phase_disable = None
+
+    t_noforce = timed_without("force")
+    t_neither = timed_without("force+move")
+
+    force = max(t_full - t_noforce, 0.0)
+    move = max(t_noforce - t_neither, 0.0)
+    return {
+        "step": t_full,
+        "force": force,
+        "move": move,
+        "other": max(t_full - force - move, 0.0),
     }
 
 

@@ -438,3 +438,143 @@ def test_drop_detected_capacity_escalation(monkeypatch):
     res = hand.run(None)
     assert calls == [start]  # no retry: the drop surfaces to check()
     assert int(res.monitors.migrate_dropped) == 3
+
+
+# ------------------------------------------------ capacity-phase repack
+def _repack_cluster_state():
+    """Deterministic repack scenario (r5, verdict #1 machinery): five
+    particles packed into one bin (pairwise > cutoff, so zero forces —
+    pure ballistic), each mover crossing into a distinct neighbor bin
+    within a step or two; five stationary background singles elsewhere.
+    Initial packing = 5, dispersed max occupancy = 1."""
+    import jax.numpy as jnp
+
+    from ppsim_tpu.state import ParticleState
+
+    # box side 0.15, bin side 0.03 (scale 3): 5x5x5 bins; cluster bin (2,2,2)
+    pos = np.array([
+        [0.087, 0.075, 0.075],   # +x mover, 0.003 from the +x face
+        [0.063, 0.075, 0.075],   # -x mover
+        [0.075, 0.087, 0.075],   # +y mover
+        [0.075, 0.063, 0.075],   # -y mover
+        [0.075, 0.075, 0.087],   # +z mover
+        [0.015, 0.015, 0.015],   # background singles, v = 0
+        [0.135, 0.015, 0.015],
+        [0.015, 0.135, 0.015],
+        [0.015, 0.015, 0.135],
+        [0.135, 0.135, 0.135],
+    ], np.float32)
+    vel = np.zeros((10, 3), np.float32)
+    vel[0, 0] = 0.9
+    vel[1, 0] = -0.9
+    vel[2, 1] = 0.9
+    vel[3, 1] = -0.9
+    vel[4, 2] = 0.9
+    return ParticleState(jnp.asarray(pos), jnp.asarray(vel))
+
+
+def _repack_cfg(**kw):
+    # density gives box side (10 * 3.375e-4)^(1/3) = 0.15; dt 0.01 at
+    # |v| = 0.9 crosses a face-adjacent mover into its neighbor bin in one
+    # step while keeping stale drift (1 * 0.9 * 0.01) under the slack 0.01.
+    base = dict(num_parts=10, ndim=3, density=3.375e-4, grid3_bin_scale=3.0,
+                grid3_capacity=4, evac_capacity=4, rebin3_every=1, dt=0.01,
+                grid3_prologue_steps=2)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_repack_phased_timed_run_commits_and_matches():
+    """The capacity-phase repack (verdict r4 #1: the t=0 lattice-packing
+    capacity tax): an under-capacity hand config packs at 5 (auto-raise),
+    runs the prologue there, and the timed driver's verified repack drops
+    it to the hand run capacity once the cluster disperses. Physics must
+    match a generously-provisioned run (the repack is storage relocation
+    only)."""
+    from ppsim_tpu.harness import timed_run_repeats
+
+    state = _repack_cluster_state()
+    eng = get_engine("grid3d", _repack_cfg())
+    result, times = timed_run_repeats(eng, state, 8, 0, repeats=2,
+                                      chunk_steps=2)
+    assert eng._pack_capacity == 5       # measured initial packing (+0 tail)
+    assert eng.geom.capacity == 4        # the repack committed
+    eng.check(result)                    # monitors clean at the pack gate
+    assert int(result.monitors.migrate_dropped) == 0
+    # Rebin monitors only see post-step occupancy (the cluster disperses in
+    # step 1), so the running max is the dispersed occupancy, within the
+    # run-capacity gate.
+    assert int(result.monitors.max_bin_count) <= 4
+
+    ref = get_engine("grid3d", _repack_cfg(grid3_capacity=6))
+    ref_res, _ = timed_run_repeats(ref, state, 8, 0, repeats=1)
+    assert ref.geom.capacity == 6        # fits from the start: no phases
+    np.testing.assert_allclose(np.asarray(result.state.pos),
+                               np.asarray(ref_res.state.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(result.state.vel),
+                               np.asarray(ref_res.state.vel), atol=1e-6)
+
+
+def test_repack_phased_saved_run_commits_and_passes():
+    """The saved (checker-gate) driver runs the same capacity phases: frames
+    at the reference cadence, repack at a segment boundary, monitors clean."""
+    from ppsim_tpu.harness import timed_run_repeats
+
+    state = _repack_cluster_state()
+    eng = get_engine("grid3d", _repack_cfg())
+    result, times = timed_run_repeats(eng, state, 8, 2, repeats=1,
+                                      chunk_steps=3)
+    assert eng.geom.capacity == 4
+    eng.check(result)
+    assert result.frames.shape == (4, 10, 3)  # after steps 1, 3, 5, 7
+    ref = get_engine("grid3d", _repack_cfg(grid3_capacity=6))
+    ref_res, _ = timed_run_repeats(ref, state, 8, 2, repeats=1)
+    np.testing.assert_allclose(result.frames, ref_res.frames, atol=1e-6)
+
+
+def test_repack_disabled_and_lj_opt_out():
+    """--grid3-repack 0 pins the whole run at the packing capacity; the LJ
+    law opts out by default (its run-tail occupancy grows past the packing,
+    so repacking down would immediately re-escalate)."""
+    from ppsim_tpu.harness import timed_run_repeats
+
+    state = _repack_cluster_state()
+    eng = get_engine("grid3d", _repack_cfg(grid3_repack=False))
+    result, _ = timed_run_repeats(eng, state, 8, 0, repeats=1, chunk_steps=2)
+    assert eng.geom.capacity == 5        # no repack: packing capacity stays
+    eng.check(result)
+
+    lj = get_engine("grid3d", _repack_cfg(force_law="lj", dt=1e-4))
+    lj.init_carry(state)
+    assert lj.repack_plan(1000) is None  # auto: off for attractive tails
+
+
+def test_sharded_grid3d_escalation_self_heals():
+    """r4 verdict #6: multi-chip 3D under-capacity must heal, not fail at
+    the final check. A capacity replace only changes the slab's slot
+    extent (strip extents depend on ys and P, never capacity), so the
+    shard_map programs re-trace cleanly at the escalated capacity."""
+    import jax
+    import jax.numpy as jnp
+
+    from ppsim_tpu.engines.base import Monitors, RunResult
+    from ppsim_tpu.engines.sharded_grid3d import ShardedGrid3DEngine
+
+    cfg = SimConfig(num_parts=500, ndim=3, density=7e-6, evac_capacity=2,
+                    rebin3_every=4)
+    state = init_particles(cfg, seed=42, method="fast")
+    eng = ShardedGrid3DEngine(cfg, devices=jax.devices()[:2], impl="xla")
+    r1 = eng.run(state, nsteps=2)  # 2 < cadence: plain steps only (no 3D
+    # rebin compile in the fast suite)
+    cap1 = eng.geom.capacity
+
+    fake = RunResult(None, None, Monitors(jnp.int32(0), jnp.int32(3),
+                                          jnp.float32(0.0), jnp.int32(0)))
+    assert eng.maybe_escalate_after_drop(fake)  # auto capacity: heals now
+    assert eng.geom.capacity == cap1 + 1
+    r2 = eng.run(state, nsteps=2)  # re-traces at the escalated capacity
+    # Capacity is pure headroom: the escalated run's physics is unchanged.
+    np.testing.assert_allclose(np.asarray(r1.state.pos),
+                               np.asarray(r2.state.pos), atol=1e-7)
+    pid_alive = int((np.asarray(r2.state.pos) != 0).any(axis=1).sum())
+    assert pid_alive == cfg.num_parts

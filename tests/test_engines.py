@@ -143,6 +143,25 @@ def test_bin_overflow_detected():
         res.check(cfg)
 
 
+def test_grid_pack_overflow_deferred_to_check():
+    """An under-provisioned grid engine must NOT raise in init_carry (the
+    eager int(overflow) there was a device->host sync inside the reference
+    timing contract's region — the r4 small-n floor attribution); the pack
+    overflow rides the monitors and surfaces through check() post-run."""
+    import jax
+
+    cfg = SimConfig(num_parts=1000, grid_bin_scale=3.0, grid_capacity=1,
+                    evac_capacity=1, rebin_every=4)
+    state = init_particles(cfg, seed=42, method="fast")
+    eng = get_engine("grid", cfg)
+    carry = eng.init_carry(state)  # must not raise, must not sync
+    mon = jax.tree.map(np.asarray, eng.monitors_of(carry))
+    assert int(mon.max_bin_count) > eng.capacity  # exact initial packing
+    res = eng.run(state, nsteps=4)
+    with pytest.raises(RuntimeError, match="bin overflow"):
+        eng.check(res)
+
+
 def test_unknown_engine_rejected():
     with pytest.raises(ValueError, match="unknown engine"):
         get_engine("cuda", SimConfig())

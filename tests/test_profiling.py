@@ -94,3 +94,56 @@ def test_phase_times_3d_and_sharded3d(grid3_test_config=None):
     d = phase_times(eng, st, steps=4)
     _assert_phase_dict(d)
     assert eng._phase_disable is None
+
+
+def test_phase_times_particle_list_engines(small_config):
+    """r4 verdict #7: the particle-list engines (oracle/binned/sharded)
+    report force vs move through the same trace-time seam; no rebin phase
+    (bins rebuild inside the fused sort step — the sort cost lands in
+    "other")."""
+    import jax
+
+    from ppsim_tpu.engines.sharded import ShardedEngine
+
+    st = init_particles(small_config, seed=42, method="fast")
+    for name in ("oracle", "binned"):
+        eng = get_engine(name, small_config)
+        d = phase_times(eng, st, steps=4)
+        assert set(d) == {"step", "force", "move", "other"}
+        assert d["step"] > 0 and all(v >= 0.0 for v in d.values())
+        assert eng._phase_disable is None  # seam restored
+
+    eng = ShardedEngine(small_config, devices=jax.devices()[:2])
+    d = phase_times(eng, st, steps=4)
+    assert set(d) == {"step", "force", "move", "other"}
+    assert eng._phase_disable is None
+
+
+def test_particle_phase_seams_disable_the_phases(small_config):
+    """The seams must actually change the compiled program: "force" freezes
+    accelerations (ballistic step), "force+move" freezes the state."""
+    import jax
+
+    eng = get_engine("binned", small_config)
+    st = init_particles(small_config, seed=42, method="fast")
+    carry = eng.init_carry(st)
+
+    eng._phase_disable = "force+move"
+    try:
+        c2 = jax.jit(eng.step_carry)(carry)
+        # sort may permute rows; per-pid state must be unchanged
+        a = np.asarray(eng.final_state(carry).pos)
+        b = np.asarray(eng.final_state(c2).pos)
+        np.testing.assert_array_equal(a, b)
+    finally:
+        eng._phase_disable = None
+
+    eng._phase_disable = "force"
+    try:
+        c3 = jax.jit(eng.step_carry)(carry)  # ballistic: x += v dt exactly
+        moved = np.asarray(eng.final_state(c3).pos)
+        ballistic = np.asarray(eng.final_state(carry).pos) + \
+            np.asarray(eng.final_state(carry).vel) * small_config.dt
+        np.testing.assert_allclose(moved, ballistic, atol=1e-7)
+    finally:
+        eng._phase_disable = None
