@@ -187,10 +187,18 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
         # — consulted after init_carry (the packing measurement).
         plan = engine.repack_plan(nsteps)
         if plan is not None:
+            min_s, _ = plan
             if chunk_steps < nsteps:
                 segs = [chunk_steps] * n_chunks
+                # Split the first chunk at the plan's earliest eligible
+                # boundary: otherwise the repack can only land at the first
+                # CHUNK boundary (e.g. step 200 at chunk_steps=200 when the
+                # lattice disperses by step 40), and every extra prologue
+                # step pays the packing capacity's ~cap^2 lane work. One
+                # extra segment program compile buys the difference.
+                if 0 < min_s < chunk_steps:
+                    segs = [min_s, chunk_steps - min_s] + segs[1:]
             else:
-                min_s, _ = plan
                 segs = [min_s, nsteps - min_s]
             return _timed_run_phased(engine, state, warm_carry, segs,
                                      nsteps, repeats, plan)
@@ -265,6 +273,7 @@ def _timed_run_phased(engine, state: ParticleState, warm_carry, segs,
     # timed replay will run — prologue segments at the packing capacity,
     # the repack, and the post-switch segments at the run capacity.
     carry, switch_at = run_schedule(warm_carry, None, discover=True)
+    engine._last_repack_switch = switch_at  # observability (bench/ab_repack)
     np.asarray(probe(engine.final_state_jit(carry)))
     del carry, warm_carry
 

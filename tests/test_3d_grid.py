@@ -515,6 +515,25 @@ def test_repack_phased_timed_run_commits_and_matches():
                                np.asarray(ref_res.state.vel), atol=1e-6)
 
 
+def test_repack_first_chunk_splits_at_plan_boundary():
+    """Chunked phased runs split the FIRST chunk at the plan's earliest
+    eligible boundary (min_s), so the repack lands as soon as the lattice
+    disperses instead of waiting out a whole chunk at the packing
+    capacity (the headline case: chunk 200 vs disperse-by-40)."""
+    from ppsim_tpu.harness import timed_run_repeats
+
+    state = _repack_cluster_state()
+    eng = get_engine("grid3d", _repack_cfg())  # prologue_steps=2
+    result, _ = timed_run_repeats(eng, state, 8, 0, repeats=1, chunk_steps=4)
+    assert eng._pack_capacity == 5
+    assert eng.geom.capacity == 4            # committed at the split boundary
+    eng.check(result)
+    ref = get_engine("grid3d", _repack_cfg(grid3_capacity=6))
+    ref_res, _ = timed_run_repeats(ref, state, 8, 0, repeats=1)
+    np.testing.assert_allclose(np.asarray(result.state.pos),
+                               np.asarray(ref_res.state.pos), atol=1e-6)
+
+
 def test_repack_phased_saved_run_commits_and_passes():
     """The saved (checker-gate) driver runs the same capacity phases: frames
     at the reference cadence, repack at a segment boundary, monitors clean."""
