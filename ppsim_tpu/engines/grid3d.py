@@ -243,27 +243,65 @@ class Grid3DEngine(GridEngine):
         return max(base, getattr(self, "_escalated_floor", 0))
 
     def attempt_repack(self, carry: GridCarry):
-        """Build (cached) and run the repack program from the CURRENT
-        capacity to the run target. Returns ``(new_carry, overflow)`` —
-        the caller commits only after confirming ``int(overflow) == 0``
-        (the low-capacity pack drops on overflow, so an overflowing repack
-        is discarded and the run continues at the packing capacity). Does
-        not donate: the input carry must survive a failed attempt."""
-        to_cap = self._repack_target()
-        key = ("repack", self.geom.capacity, to_cap)
-        if key not in self._programs:
+        """Run the repack from the CURRENT capacity to the run target.
+
+        Returns ``(new_carry, overflow)`` with ``overflow`` already an int:
+        0 means ``new_carry`` is at the target capacity and the caller must
+        ``commit_repack()``; >0 means the target pack would have dropped,
+        and ``new_carry`` is the SAME particles re-packed at the current
+        capacity instead (guaranteed loss-free: the input slab held every
+        particle at this capacity, so no bin exceeds it). Either way the
+        input carry is CONSUMED (donated).
+
+        Two programs, not one (r5): the single fused gather+pack program
+        holds the old slab, the new slab, the id-ordered particle lists and
+        the sort/scatter temporaries in one arena — RESOURCE_EXHAUSTED on
+        the relayed v5e at n=20.97M (slabs are ~2 GB each there, and PJRT
+        allocates a program's outputs+temps at DISPATCH, so nothing frees
+        until the whole program retires). Split, the gather DONATES the old
+        slab and a scalar fetch fences the pack's dispatch behind the
+        gather's retirement, so peak holds one slab plus one particle list.
+        The fence is one device->host round trip per attempt (~24 ms,
+        CLAUDE.md dispatch floor) inside the timed region — the honest cost
+        of the switch, paid once per run."""
+        n = self.config.num_parts
+        gkey = ("repack_gather", self.geom.capacity)
+        if gkey not in self._programs:
             from_geom = self.geom
-            to_geom = dataclasses.replace(self.geom, capacity=to_cap)
-            n = self.config.num_parts
 
-            def impl(c):
+            def gather(c):
                 pos, vel = grid3d_ops.slab3_to_particles(c.slab, from_geom, n)
-                slab, overflow = grid3d_ops.slab3_from_particles(
-                    pos, vel, to_geom)
-                return GridCarry(slab, c.step, c.monitors), overflow
+                return pos, vel, c.step, c.monitors
 
-            self._programs[key] = jax.jit(impl)
-        return self._programs[key](carry)
+            self._programs[gkey] = jax.jit(gather, donate_argnums=(0,))
+
+        def pack_program(cap: int):
+            key = ("repack_pack", cap)
+            if key not in self._programs:
+                to_geom = dataclasses.replace(self.geom, capacity=cap)
+
+                def pack(pos, vel, step, monitors):
+                    slab, overflow = grid3d_ops.slab3_from_particles(
+                        pos, vel, to_geom)
+                    return GridCarry(slab, step, monitors), overflow
+
+                # No donation: a failed target pack re-packs the SAME
+                # pos/vel at the current capacity (the fallback below).
+                self._programs[key] = jax.jit(pack)
+            return self._programs[key]
+
+        from_cap = self.geom.capacity
+        pos, vel, step, monitors = self._programs[gkey](carry)
+        del carry
+        int(step)  # fence: old slab freed before the pack arena is enqueued
+        cand, ovf = pack_program(self._repack_target())(
+            pos, vel, step, monitors)
+        ovf = int(ovf)
+        if ovf:
+            del cand
+            cand, back_ovf = pack_program(from_cap)(pos, vel, step, monitors)
+            assert int(back_ovf) == 0, "repack fallback overflowed"
+        return cand, ovf
 
     def commit_repack(self) -> None:
         """Flip the engine to the run capacity after a verified repack."""

@@ -239,18 +239,25 @@ def _timed_run_phased(engine, state: ParticleState, warm_carry, segs,
     deterministic, so the boundary where the repack first fits (its packer
     reports zero overflow) in warmup is where it fits in every timed
     repeat; the timed replay still verifies the overflow scalar before
-    committing (one device->host round trip, the honest cost of the
-    switch). A repack that never fits leaves the whole run at the packing
-    capacity — exactly the pre-repack behavior."""
+    committing (device->host round trips, the honest cost of the switch).
+    The replay repeats EVERY attempt boundary the warmup tried, not just
+    the committing one: attempt_repack consumes its input (donated — the
+    fused no-donation program OOMed the relayed v5e at 20.97M) and a
+    failed attempt re-packs at the current capacity, which reorders slots
+    within bins and so perturbs f32 summation order; replaying the same
+    attempts keeps warmup and timed trajectories bit-identical. A repack
+    that never fits leaves the whole run at the packing capacity —
+    exactly the pre-repack behavior."""
     from ppsim_tpu.engines.base import RunResult
 
     min_s, max_s = plan
     probe = jax.jit(lambda st: st.pos.ravel()[0])
 
-    def run_schedule(carry, switch_at, discover: bool):
+    def run_schedule(carry, attempts, discover: bool):
         done = 0
         switched_after = None
         attempted = False
+        attempts_made = []
         for ln in segs:
             carry = engine._segment_program(
                 ln, engine._segment_phase(done))(carry)
@@ -258,22 +265,24 @@ def _timed_run_phased(engine, state: ParticleState, warm_carry, segs,
             want = (
                 (discover and switched_after is None and done < nsteps
                  and done >= min_s and (done <= max_s or not attempted))
-                or (not discover and done == switch_at)
+                or (not discover and switched_after is None
+                    and done in attempts)
             )
             if want:
                 attempted = True
-                cand, ovf = engine.attempt_repack(carry)
-                if int(ovf) == 0:
+                attempts_made.append(done)
+                carry, ovf = engine.attempt_repack(carry)
+                if ovf == 0:
                     engine.commit_repack()
-                    carry = cand
                     switched_after = done
-        return carry, switched_after
+        return carry, attempts_made, switched_after
 
     # Warmup/discovery pass (outside any timer): compiles every program the
     # timed replay will run — prologue segments at the packing capacity,
     # the repack, and the post-switch segments at the run capacity.
-    carry, switch_at = run_schedule(warm_carry, None, discover=True)
+    carry, attempts, switch_at = run_schedule(warm_carry, (), discover=True)
     engine._last_repack_switch = switch_at  # observability (bench/ab_repack)
+    engine._last_repack_attempts = attempts
     np.asarray(probe(engine.final_state_jit(carry)))
     del carry, warm_carry
 
@@ -281,7 +290,7 @@ def _timed_run_phased(engine, state: ParticleState, warm_carry, segs,
     for _ in range(max(1, repeats)):
         t0 = time.perf_counter()
         carry = engine.init_carry(state)
-        carry, _ = run_schedule(carry, switch_at, discover=False)
+        carry, _, _ = run_schedule(carry, set(attempts), discover=False)
         final = engine.final_state_jit(carry)
         np.asarray(probe(final))
         times.append(time.perf_counter() - t0)
@@ -384,24 +393,31 @@ def _timed_run_segments_phased(engine, state: ParticleState, warm_carry,
     min_s, max_s = plan
     probe = jax.jit(lambda st: st.pos.ravel()[0])
 
-    def run_schedule(carry, switch_at, discover: bool):
+    def run_schedule(carry, attempts, discover: bool):
         done = 0
         switched_after = None
         attempted = False
+        attempts_made = []
         frames = []
         pending = None  # overlap: pull frame k after dispatching segment k+1
         for ln, cap in schedule:
             carry = engine._segment_program(
                 ln, engine._segment_phase(done))(carry)
             done += ln
+            # Replay EVERY warmup attempt boundary, not just the committing
+            # one: attempt_repack consumes its input and a failed attempt
+            # re-packs (reorders slots), so identical attempt schedules keep
+            # warmup and timed trajectories bit-identical (see
+            # _timed_run_phased).
             if ((discover and switched_after is None and done < nsteps
                  and done >= min_s and (done <= max_s or not attempted))
-                    or (not discover and done == switch_at)):
+                    or (not discover and switched_after is None
+                        and done in attempts)):
                 attempted = True
-                cand, ovf = engine.attempt_repack(carry)
-                if int(ovf) == 0:
+                attempts_made.append(done)
+                carry, ovf = engine.attempt_repack(carry)
+                if ovf == 0:
                     engine.commit_repack()
-                    carry = cand
                     switched_after = done
             if pending is not None:
                 frames.append(np.asarray(pending))
@@ -410,9 +426,12 @@ def _timed_run_segments_phased(engine, state: ParticleState, warm_carry,
                 pending = engine._frame_program()(carry)
         if pending is not None:
             frames.append(np.asarray(pending))
-        return carry, frames, switched_after
+        return carry, frames, attempts_made, switched_after
 
-    carry, _, switch_at = run_schedule(warm_carry, None, discover=True)
+    carry, _, attempts, switch_at = run_schedule(warm_carry, (),
+                                                 discover=True)
+    engine._last_repack_switch = switch_at  # observability
+    engine._last_repack_attempts = attempts
     np.asarray(probe(engine.final_state_jit(carry)))
     del carry, warm_carry
 
@@ -420,7 +439,8 @@ def _timed_run_segments_phased(engine, state: ParticleState, warm_carry,
     for _ in range(max(1, repeats)):
         t0 = time.perf_counter()
         carry = engine.init_carry(state)
-        carry, frames, _ = run_schedule(carry, switch_at, discover=False)
+        carry, frames, _, _ = run_schedule(carry, set(attempts),
+                                           discover=False)
         final = engine.final_state_jit(carry)
         np.asarray(probe(final))
         times.append(time.perf_counter() - t0)

@@ -551,6 +551,43 @@ def test_repack_phased_saved_run_commits_and_passes():
     np.testing.assert_allclose(result.frames, ref_res.frames, atol=1e-6)
 
 
+def test_repack_failed_attempt_retries_and_stays_lossless():
+    """A repack attempt BEFORE the cluster disperses must fail loss-free and
+    retry at the next boundary (r5: attempt_repack donates its input and a
+    failed attempt re-packs at the current capacity — the fused no-donation
+    program OOMed the relayed v5e at 20.97M). Slow movers (v=0.12: the
+    0.003 face gap crosses at step 3) keep the cluster packed at the first
+    attempt (step 2) and disperse it by the second (step 4); physics must
+    still match a generously-provisioned run through the failed attempt's
+    slot reordering."""
+    import jax.numpy as jnp
+
+    from ppsim_tpu.harness import timed_run_repeats
+    from ppsim_tpu.state import ParticleState
+
+    base = _repack_cluster_state()
+    vel = np.asarray(base.vel).copy()
+    vel[np.nonzero(vel)] = np.sign(vel[np.nonzero(vel)]) * 0.12
+    state = ParticleState(base.pos, jnp.asarray(vel))
+
+    eng = get_engine("grid3d", _repack_cfg())  # prologue_steps=2
+    result, _ = timed_run_repeats(eng, state, 8, 0, repeats=2, chunk_steps=2)
+    assert eng._pack_capacity == 5
+    assert eng._last_repack_attempts[0] == 2      # first attempt: still packed
+    assert len(eng._last_repack_attempts) >= 2    # ... so it retried
+    assert eng._last_repack_switch == eng._last_repack_attempts[-1]
+    assert eng.geom.capacity == 4                 # the retry committed
+    eng.check(result)
+    assert int(result.monitors.migrate_dropped) == 0
+
+    ref = get_engine("grid3d", _repack_cfg(grid3_capacity=6))
+    ref_res, _ = timed_run_repeats(ref, state, 8, 0, repeats=1)
+    np.testing.assert_allclose(np.asarray(result.state.pos),
+                               np.asarray(ref_res.state.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(result.state.vel),
+                               np.asarray(ref_res.state.vel), atol=1e-6)
+
+
 def test_repack_disabled_and_lj_opt_out():
     """--grid3-repack 0 pins the whole run at the packing capacity; the LJ
     law opts out by default (its run-tail occupancy grows past the packing,
