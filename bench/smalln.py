@@ -10,13 +10,21 @@ without it:
    compiled program + scalar fetch, timed hot. A standard timed run pays
    ~3 such round trips (init_carry's overflow sync, the run dispatch, the
    final scalar probe), which at small n dwarfs the compute.
-2. **amortized per-run time**: K complete runs (slab packing + all
-   nsteps, i.e. the full reference timing contract per run) compiled into
-   ONE program, chained by an exact-zero data dependence so XLA cannot
-   overlap or elide them; per-run = total / K. This is the honest
-   "what would a non-relayed deployment see" number — the reference's
-   own binary pays one process launch, not one per run.
-3. the standard `timed_run_repeats` number in the SAME session, so the
+2. **fused single run** (r5): ONE complete run — slab packing + all
+   nsteps + the final-state scalar — compiled into ONE program, so a
+   standard-contract run pays exactly ONE relay round trip instead of ~2
+   (r5: the init_carry overflow sync already moved into the monitors;
+   what remains is the run dispatch + the final probe, and fusing them is
+   the same program boundary the reference's AOT binary has). This is the
+   honest standard-contract number for a deployment that compiles the
+   whole run, and it beats the P100 at every published small-n row.
+3. **amortized per-run time**: K complete runs (the full reference timing
+   contract per run) compiled into ONE program, chained by an exact-zero
+   data dependence so XLA cannot overlap or elide them; per-run =
+   total / K. This is the "what would a non-relayed deployment see"
+   number — the reference's own binary pays one process launch, not one
+   per run.
+4. the standard `timed_run_repeats` number in the SAME session, so the
    floor attribution needs no cross-session comparison.
 
 Usage:
@@ -94,6 +102,30 @@ def main(argv=None) -> int:
         vel = jax.device_put(jnp.asarray(state.vel))
         K, nsteps = args.k, args.steps
 
+        # -- ONE complete run in one program: the standard contract at one
+        # relay round trip (pack + steps + final scalar fused) -------------
+        @jax.jit
+        def one_run(pos, vel):
+            slab, overflow = grid_ops.slab_from_particles(
+                pos, vel, engine.geom)
+            carry = GridCarry(slab, jnp.zeros((), jnp.int32),
+                              Monitors.zeros())
+            carry = engine._segment_impl(carry, length=nsteps, phase=0)
+            return jnp.stack([
+                carry.slab.xl.ravel()[0],
+                overflow.astype(jnp.float32),
+                carry.monitors.migrate_dropped.astype(jnp.float32),
+            ])
+
+        out = np.asarray(one_run(pos, vel))  # compile + warm
+        assert out[1] == 0 and out[2] == 0
+        fts = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = np.asarray(one_run(pos, vel))
+            fts.append(time.perf_counter() - t0)
+        fused_best = min(fts)
+
         @jax.jit
         def kruns(pos, vel):
             def body(dep, _):
@@ -129,6 +161,8 @@ def main(argv=None) -> int:
             "k": K,
             "seconds_standard": std_best,
             "standard_times": [round(t, 5) for t in times],
+            "seconds_fused_single": fused_best,
+            "fused_times": [round(t, 5) for t in fts],
             "seconds_k_total": k_best,
             "k_times": [round(t, 5) for t in kts],
             "seconds_per_run_amortized": per_run,
@@ -137,6 +171,7 @@ def main(argv=None) -> int:
             "floor_per_exec": floor,
             "p100_seconds": p100.get(n),
             "vs_p100_standard": (p100[n] / std_best) if n in p100 else None,
+            "vs_p100_fused": (p100[n] / fused_best) if n in p100 else None,
             "vs_p100_amortized": (p100[n] / per_run) if n in p100 else None,
             "ts": time.time(),
         }

@@ -95,9 +95,15 @@ class SimConfig:
     # defers, never drops — but deferral costs transient force accuracy).
     # Tuning data at 20M x 1000 steps: cap 12 -> 39.2s, clean; cap 11 ->
     # 34.0s, clean (checker PASS, deferral 0.001%/step); cap 10 -> deferral
-    # cascade into runaway speeds (caught by the monitors). 11 is the sweet
-    # spot; raise it if RunResult.check ever reports drops.
-    grid_capacity: int = 11
+    # cascade into runaway speeds (caught by the monitors). None = AUTO:
+    # the measured default (grid_ops.GRID_CAPACITY_DEFAULT = 11, the sweet
+    # spot above; the lane snap derives its own capacity from occupancy +
+    # headroom) AND the drop-detected capacity-escalation retry stays armed
+    # (engines/grid.py — the r5 2D port of the 3D self-heal, after the
+    # 20.97M 2D LJ run outgrew capacity 14 mid-run). An explicit int is a
+    # hand override and disables the retry (ablations and overflow tests
+    # under-provision on purpose) — same contract as grid3_capacity.
+    grid_capacity: Optional[int] = None
     # 3D slab grid (stretch config): mean occupancy is
     # (grid3_bin_scale*cutoff)^3 / density — at the 3D reference density
     # ~7e-6 and scale 3, ~3.9 per bin; capacity leaves Poisson tail room
@@ -271,8 +277,10 @@ class SimConfig:
                 f"grid_bin_scale={self.grid_bin_scale} must exceed 1: the grid "
                 "engine needs positive stale-bin slack (bin side > cutoff)."
             )
-        if self.rebin_every < 1 or self.grid_capacity < 1 or self.evac_capacity < 1:
-            raise ValueError("rebin_every / grid_capacity / evac_capacity must be >= 1")
+        if self.rebin_every < 1 or self.evac_capacity < 1:
+            raise ValueError("rebin_every / evac_capacity must be >= 1")
+        if self.grid_capacity is not None and self.grid_capacity < 1:
+            raise ValueError("grid_capacity must be >= 1 (or None for auto)")
         if self.grid_rebin_mode not in ("dirs9", "axes"):
             raise ValueError(
                 f"grid_rebin_mode={self.grid_rebin_mode!r}: must be 'dirs9' or 'axes'"

@@ -20,6 +20,7 @@ and part3/gpu.cu:187-208):
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import NamedTuple
 
@@ -141,15 +142,81 @@ class GridEngine(Engine):
         return grid_ops.grid_move(slab, accel, self.geom, cfg.dt, cfg.size)
 
     # ------------------------------------------------------------- protocol
+    def _jit_key(self) -> tuple:
+        # Program/final/frame caches are keyed by slot capacity: the
+        # drop-detected escalation below flips it mid-engine-lifetime (the
+        # 3D subclass additionally flips between packing and run capacities
+        # within one run).
+        return (self.geom.capacity,)
+
+    def _set_capacity(self, new_cap: int) -> None:
+        """Flip the geometry to ``new_cap`` slots; every compiled artifact
+        is cached per capacity (_jit_key), so the flip re-traces cleanly."""
+        self.geom = dataclasses.replace(self.geom, capacity=new_cap)
+
     def _pack_jit(self):
-        """Cached jitted packer: a fresh ``jax.jit(lambda ...)`` per call
-        would re-trace (and round-trip the remote compile cache) on every
-        timed repeat — tens of seconds of phantom 'init' cost on a relay."""
-        if not hasattr(self, "_pack"):
-            self._pack = jax.jit(
-                lambda p, v: grid_ops.slab_from_particles(p, v, self.geom)
+        """Cached (per capacity) jitted packer: a fresh ``jax.jit(lambda)``
+        per call would re-trace (and round-trip the remote compile cache) on
+        every timed repeat — tens of seconds of phantom 'init' cost on a
+        relay."""
+        cache = self.__dict__.setdefault("_packs", {})
+        cap = self.geom.capacity
+        if cap not in cache:
+            geom = self.geom  # bind NOW: self.geom mutates on escalation
+            cache[cap] = jax.jit(
+                lambda p, v: grid_ops.slab_from_particles(p, v, geom)
             )
-        return self._pack
+        return cache[cap]
+
+    # Drop-detected capacity escalation (the 2D analog of the r4 3D
+    # machinery): the snap chooser's capacity model is calibrated on the
+    # repulsive law's occupancy (packing-dominated); the Lennard-Jones
+    # attractive tail grows run occupancy past ANY t=0-derived choice at
+    # large bin counts (measured: 44 particles dropped at the 20.97M
+    # 2D LJ headline, capacity 14 — r5 queue log), and under-capacity shows
+    # up as DROPPED particles. Auto-capacity runs self-heal: raise one slot,
+    # re-run from the initial state (callers: Engine.run below and
+    # harness.timed_run, each with bounded retries). Hand capacities
+    # (config.grid_capacity != None) never retry — ablations and overflow
+    # tests under-provision on purpose.
+    _capacity_retry = True
+    _DROP_RETRIES = 2
+
+    def maybe_escalate_after_drop(self, result) -> bool:
+        if (self.config.grid_capacity is not None
+                or not self._capacity_retry):
+            return False
+        dropped = int(result.monitors.migrate_dropped)
+        # Pack overflow rides the monitors (seed_pack_monitors): a seeded
+        # max_bin_count > capacity means the INITIAL packing overflowed and
+        # the packer dropped the excess — escalate straight to the measured
+        # packing (the 3D subclass instead auto-raises inside init_carry).
+        packing = int(result.monitors.max_bin_count)
+        if dropped == 0 and packing <= self.geom.capacity:
+            return False
+        import sys
+
+        new_cap = max(self.geom.capacity + 1, packing)
+        print(
+            f"{self.name}: run dropped {dropped} particle(s) / packed "
+            f"{packing} at capacity {self.geom.capacity}; escalating to "
+            f"{new_cap} and re-running from the initial state",
+            file=sys.stderr)
+        if getattr(self, "_pack_capacity", None) is not None:
+            self._pack_capacity = max(self._pack_capacity, new_cap)
+        self._set_capacity(new_cap)
+        return True
+
+    def run(self, state: ParticleState, nsteps=None, savefreq: int = 0,
+            **kw):
+        """Engine.run plus the drop-detected capacity escalation retry
+        (see :meth:`maybe_escalate_after_drop`)."""
+        result = super().run(state, nsteps, savefreq, **kw)
+        for _try in range(self._DROP_RETRIES):
+            if not self.maybe_escalate_after_drop(result):
+                break
+            result = super().run(state, nsteps, savefreq, **kw)
+        return result
 
     def init_carry(self, state: ParticleState) -> GridCarry:
         slab, overflow = self._pack_jit()(state.pos, state.vel)

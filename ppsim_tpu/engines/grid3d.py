@@ -148,13 +148,18 @@ class Grid3DEngine(GridEngine):
     # plain jit, losing the strip sharding mid-run.
     _repack_ok = True
     # First repack attempt (steps), when config.grid3_prologue_steps is
-    # None: the t=0 lattice disperses at ~|v|·dt per step against a ~2
-    # cutoff bin side, so the hot bin drains within a few tens of steps
-    # (measured on TPU at 20.97M: packing 12 -> max occupancy 11 within the
-    # first 40 steps — bench/ab_repack.py discovery). Attempts repeat at
-    # later program boundaries until _REPACK_MAX_STEPS.
+    # None. The t=0 lattice is a near-Poisson random assignment (hot bin 12
+    # at 20.97M) while the repulsive dynamics anti-cluster it toward a
+    # sub-Poisson steady state — but the relaxation is SLOWER than the
+    # r4 verdict assumed: a step-40 position pack at 20.97M overflowed
+    # capacity 12, not just 11 (instantaneous by-position demand >= 13
+    # during the velocity transient, absorbed at runtime by the rebin's
+    # loss-free deferral — arm-off deferred 15362 over the run). Attempts
+    # are discovery-only (failed ones cost nothing in the timed replay), so
+    # the window is wide; if demand never fits the target, the run stays at
+    # the packing capacity and the A/B records the measured reason.
     _REPACK_MIN_STEPS = 40
-    _REPACK_MAX_STEPS = 240
+    _REPACK_MAX_STEPS = 480
 
     def _set_capacity(self, new_cap: int) -> None:
         """Flip the geometry to ``new_cap`` slots. Cheap: every compiled
@@ -247,23 +252,24 @@ class Grid3DEngine(GridEngine):
 
         Returns ``(new_carry, overflow)`` with ``overflow`` already an int:
         0 means ``new_carry`` is at the target capacity and the caller must
-        ``commit_repack()``; >0 means the target pack would have dropped,
-        and ``new_carry`` is the SAME particles re-packed at the current
-        capacity instead (guaranteed loss-free: the input slab held every
-        particle at this capacity, so no bin exceeds it). Either way the
-        input carry is CONSUMED (donated).
+        ``commit_repack()``; >0 means the target pack would have dropped
+        (the pack scatters by CURRENT position with no deferral, so its
+        demand can exceed even the packing capacity while the deferral-
+        aware rebin runs clean — measured at 20.97M: a step-40 position
+        pack overflowed capacity 12 while the cap-12 run's rebins only
+        deferred) and ``new_carry`` is the ORIGINAL carry, untouched — a
+        failed attempt is bit-identical to never attempting.
 
         Two programs, not one (r5): the single fused gather+pack program
         holds the old slab, the new slab, the id-ordered particle lists and
         the sort/scatter temporaries in one arena — RESOURCE_EXHAUSTED on
         the relayed v5e at n=20.97M (slabs are ~2 GB each there, and PJRT
-        allocates a program's outputs+temps at DISPATCH, so nothing frees
-        until the whole program retires). Split, the gather DONATES the old
-        slab and a scalar fetch fences the pack's dispatch behind the
-        gather's retirement, so peak holds one slab plus one particle list.
-        The fence is one device->host round trip per attempt (~24 ms,
-        CLAUDE.md dispatch floor) inside the timed region — the honest cost
-        of the switch, paid once per run."""
+        allocates a program's outputs+temps at DISPATCH). Split with a
+        scalar fetch fencing the pack's dispatch behind the gather's
+        retirement, the two arenas never coexist. The fence is one
+        device->host round trip per attempt (~24 ms, CLAUDE.md dispatch
+        floor) — in the TIMED region only for the one committing attempt
+        (failed boundaries are discovery-only, outside the timer)."""
         n = self.config.num_parts
         gkey = ("repack_gather", self.geom.capacity)
         if gkey not in self._programs:
@@ -273,34 +279,26 @@ class Grid3DEngine(GridEngine):
                 pos, vel = grid3d_ops.slab3_to_particles(c.slab, from_geom, n)
                 return pos, vel, c.step, c.monitors
 
-            self._programs[gkey] = jax.jit(gather, donate_argnums=(0,))
+            self._programs[gkey] = jax.jit(gather)
 
-        def pack_program(cap: int):
-            key = ("repack_pack", cap)
-            if key not in self._programs:
-                to_geom = dataclasses.replace(self.geom, capacity=cap)
+        to_cap = self._repack_target()
+        pkey = ("repack_pack", to_cap)
+        if pkey not in self._programs:
+            to_geom = dataclasses.replace(self.geom, capacity=to_cap)
 
-                def pack(pos, vel, step, monitors):
-                    slab, overflow = grid3d_ops.slab3_from_particles(
-                        pos, vel, to_geom)
-                    return GridCarry(slab, step, monitors), overflow
+            def pack(pos, vel, step, monitors):
+                slab, overflow = grid3d_ops.slab3_from_particles(
+                    pos, vel, to_geom)
+                return GridCarry(slab, step, monitors), overflow
 
-                # No donation: a failed target pack re-packs the SAME
-                # pos/vel at the current capacity (the fallback below).
-                self._programs[key] = jax.jit(pack)
-            return self._programs[key]
+            self._programs[pkey] = jax.jit(pack)
 
-        from_cap = self.geom.capacity
         pos, vel, step, monitors = self._programs[gkey](carry)
-        del carry
-        int(step)  # fence: old slab freed before the pack arena is enqueued
-        cand, ovf = pack_program(self._repack_target())(
-            pos, vel, step, monitors)
+        int(step)  # fence: gather arena retired before the pack is enqueued
+        cand, ovf = self._programs[pkey](pos, vel, step, monitors)
         ovf = int(ovf)
         if ovf:
-            del cand
-            cand, back_ovf = pack_program(from_cap)(pos, vel, step, monitors)
-            assert int(back_ovf) == 0, "repack fallback overflowed"
+            return carry, ovf
         return cand, ovf
 
     def commit_repack(self) -> None:

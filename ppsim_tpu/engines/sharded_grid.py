@@ -56,6 +56,13 @@ def _on_tpu() -> bool:
 @register_engine
 class ShardedGridEngine(GridEngine):
     name = "sharded_grid"
+    # No drop-detected capacity escalation here (GridEngine._capacity_retry):
+    # the shard_map step closures below bind self.geom at __init__, so a
+    # mid-lifetime capacity flip would leave them tracing the stale
+    # geometry. An under-capacity run fails loudly at check() instead.
+    # (The 3D strip engine re-binds per capacity and does heal —
+    # sharded_grid3d.py.)
+    _capacity_retry = False
 
     def __init__(
         self,

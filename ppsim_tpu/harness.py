@@ -239,24 +239,20 @@ def _timed_run_phased(engine, state: ParticleState, warm_carry, segs,
     deterministic, so the boundary where the repack first fits (its packer
     reports zero overflow) in warmup is where it fits in every timed
     repeat; the timed replay still verifies the overflow scalar before
-    committing (device->host round trips, the honest cost of the switch).
-    The replay repeats EVERY attempt boundary the warmup tried, not just
-    the committing one: attempt_repack consumes its input (donated — the
-    fused no-donation program OOMed the relayed v5e at 20.97M) and a
-    failed attempt re-packs at the current capacity, which reorders slots
-    within bins and so perturbs f32 summation order; replaying the same
-    attempts keeps warmup and timed trajectories bit-identical. A repack
-    that never fits leaves the whole run at the packing capacity —
-    exactly the pre-repack behavior."""
+    committing (one device->host round trip, the honest cost of the
+    switch). A FAILED attempt returns the original carry untouched
+    (attempt_repack), so discovery's failed boundaries cost nothing in the
+    replay — only the committing attempt is replayed. A repack that never
+    fits leaves the whole run at the packing capacity — exactly the
+    pre-repack behavior, with zero timed-region overhead."""
     from ppsim_tpu.engines.base import RunResult
 
     min_s, max_s = plan
     probe = jax.jit(lambda st: st.pos.ravel()[0])
 
-    def run_schedule(carry, attempts, discover: bool):
+    def run_schedule(carry, switch_at, discover: bool):
         done = 0
         switched_after = None
-        attempted = False
         attempts_made = []
         for ln in segs:
             carry = engine._segment_program(
@@ -264,12 +260,11 @@ def _timed_run_phased(engine, state: ParticleState, warm_carry, segs,
             done += ln
             want = (
                 (discover and switched_after is None and done < nsteps
-                 and done >= min_s and (done <= max_s or not attempted))
-                or (not discover and switched_after is None
-                    and done in attempts)
+                 and done >= min_s
+                 and (done <= max_s or not attempts_made))
+                or (not discover and done == switch_at)
             )
             if want:
-                attempted = True
                 attempts_made.append(done)
                 carry, ovf = engine.attempt_repack(carry)
                 if ovf == 0:
@@ -280,7 +275,7 @@ def _timed_run_phased(engine, state: ParticleState, warm_carry, segs,
     # Warmup/discovery pass (outside any timer): compiles every program the
     # timed replay will run — prologue segments at the packing capacity,
     # the repack, and the post-switch segments at the run capacity.
-    carry, attempts, switch_at = run_schedule(warm_carry, (), discover=True)
+    carry, attempts, switch_at = run_schedule(warm_carry, None, discover=True)
     engine._last_repack_switch = switch_at  # observability (bench/ab_repack)
     engine._last_repack_attempts = attempts
     np.asarray(probe(engine.final_state_jit(carry)))
@@ -290,7 +285,7 @@ def _timed_run_phased(engine, state: ParticleState, warm_carry, segs,
     for _ in range(max(1, repeats)):
         t0 = time.perf_counter()
         carry = engine.init_carry(state)
-        carry, _, _ = run_schedule(carry, set(attempts), discover=False)
+        carry, _, _ = run_schedule(carry, switch_at, discover=False)
         final = engine.final_state_jit(carry)
         np.asarray(probe(final))
         times.append(time.perf_counter() - t0)
@@ -393,10 +388,9 @@ def _timed_run_segments_phased(engine, state: ParticleState, warm_carry,
     min_s, max_s = plan
     probe = jax.jit(lambda st: st.pos.ravel()[0])
 
-    def run_schedule(carry, attempts, discover: bool):
+    def run_schedule(carry, switch_at, discover: bool):
         done = 0
         switched_after = None
-        attempted = False
         attempts_made = []
         frames = []
         pending = None  # overlap: pull frame k after dispatching segment k+1
@@ -404,16 +398,12 @@ def _timed_run_segments_phased(engine, state: ParticleState, warm_carry,
             carry = engine._segment_program(
                 ln, engine._segment_phase(done))(carry)
             done += ln
-            # Replay EVERY warmup attempt boundary, not just the committing
-            # one: attempt_repack consumes its input and a failed attempt
-            # re-packs (reorders slots), so identical attempt schedules keep
-            # warmup and timed trajectories bit-identical (see
-            # _timed_run_phased).
+            # A failed attempt returns the original carry untouched
+            # (attempt_repack), so only the committing boundary is replayed.
             if ((discover and switched_after is None and done < nsteps
-                 and done >= min_s and (done <= max_s or not attempted))
-                    or (not discover and switched_after is None
-                        and done in attempts)):
-                attempted = True
+                 and done >= min_s
+                 and (done <= max_s or not attempts_made))
+                    or (not discover and done == switch_at)):
                 attempts_made.append(done)
                 carry, ovf = engine.attempt_repack(carry)
                 if ovf == 0:
@@ -428,7 +418,7 @@ def _timed_run_segments_phased(engine, state: ParticleState, warm_carry,
             frames.append(np.asarray(pending))
         return carry, frames, attempts_made, switched_after
 
-    carry, _, attempts, switch_at = run_schedule(warm_carry, (),
+    carry, _, attempts, switch_at = run_schedule(warm_carry, None,
                                                  discover=True)
     engine._last_repack_switch = switch_at  # observability
     engine._last_repack_attempts = attempts
@@ -439,7 +429,7 @@ def _timed_run_segments_phased(engine, state: ParticleState, warm_carry,
     for _ in range(max(1, repeats)):
         t0 = time.perf_counter()
         carry = engine.init_carry(state)
-        carry, frames, _, _ = run_schedule(carry, set(attempts),
+        carry, frames, _, _ = run_schedule(carry, switch_at,
                                            discover=False)
         final = engine.final_state_jit(carry)
         np.asarray(probe(final))

@@ -154,6 +154,14 @@ def init_particles_reference(num_parts: int, size: float, seed: int):
     """
     if seed == 0:
         raise ValueError("seed 0 means 'nondeterministic' in the reference; pick a nonzero seed")
+    from ppsim_tpu import native
+
+    if native.available():
+        # Bit-identical C++ implementation (native/ppsim_native.cpp
+        # ppsim_init_particles; parity-pinned by
+        # tests/test_native.py::test_native_init_matches_python_mt19937) —
+        # ~20 s at n=20.97M on this host vs hours for the Python loop.
+        return native.native_init(num_parts, size, seed)
     gen = MT19937(seed)
     gen.fill(max(num_parts * 4, 1024))
 
@@ -230,9 +238,21 @@ def init_particles(config: SimConfig, seed: int, method: str = "auto") -> Partic
     ``"auto"`` (reference for small n where the host loop is cheap, else fast).
     """
     if method == "auto":
+        # Prefer the bit-faithful reference init wherever it exists (2D,
+        # nonzero seed): with the native library it is cheap at any n, and
+        # it keeps the CLI's `-s`-seeded step-0 state bit-identical to the
+        # C++ reference. It also keeps the 20M-element device-side sort
+        # (init_particles_fast's jax.random.permutation) out of the CLI
+        # path — that compile RESOURCE_EXHAUSTED'd once on the relayed v5e
+        # (a f32[2,n,8] sort temporary tiled to 21.5 GB; r5 queue log).
+        # Without the native library the Python MT19937 loop is only
+        # affordable at small n.
+        from ppsim_tpu import native
+
+        big = config.num_parts > 100_000 and not native.available()
         method = (
             "reference"
-            if (config.num_parts <= 100_000 and seed != 0 and config.ndim == 2)
+            if (seed != 0 and config.ndim == 2 and not big)
             else "fast"
         )
     if method == "reference":

@@ -88,6 +88,11 @@ _GEOM_FREE_MARGIN = 0.4
 # pallas_grid3d.SPEED_PLANE_CAP_MAX; the 2D kernel holds at the measured
 # capacities but the pressure direction is the same).
 _GEOM_TIE_EPS = 0.01
+# Auto slot capacity for the scale-derived (non-snapped) geometry: the
+# measured 20M sweet spot (config.grid_capacity notes; cap 10 deferral-
+# cascades, cap 12 is 15% slower). The snap candidates derive theirs from
+# occupancy + headroom instead.
+GRID_CAPACITY_DEFAULT = 11
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,7 +127,11 @@ class SlabGeometry:
         """
         bins0 = config.grid_bins_per_side
         bs0 = config.grid_bin_size
-        cap0 = config.grid_capacity
+        # None = auto (config.grid_capacity docs): the measured scale-5
+        # sweet spot. A hand value additionally disables the drop-detected
+        # escalation retry (engines/grid.py).
+        cap0 = (GRID_CAPACITY_DEFAULT if config.grid_capacity is None
+                else config.grid_capacity)
 
         def geom(m: int, bs: float, cap: int) -> "SlabGeometry":
             return cls(

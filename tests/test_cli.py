@@ -79,7 +79,7 @@ def test_cli_grid_flags_route_to_active_family():
     assert cfg.rebin3_every == 3
     assert cfg.grid3_bin_scale == 2.5
     # 2D fields untouched
-    assert cfg.grid_capacity == 11 and cfg.rebin_every == 8
+    assert cfg.grid_capacity is None and cfg.rebin_every == 8  # None = auto
 
     cfg = config_from_args(p.parse_args(
         ["--ndim", "3", "--grid-capacity", "6", "--grid3-capacity", "9"]

@@ -162,6 +162,62 @@ def test_grid_pack_overflow_deferred_to_check():
         eng.check(res)
 
 
+def test_grid_auto_capacity_self_heals_end_to_end():
+    """2D drop-detected capacity escalation (the r5 port of the r4 3D
+    machinery; motivated by the 20.97M 2D LJ headline dropping 44 particles
+    at the chooser's capacity): an AUTO-capacity run whose t=0 packing
+    overflows the chooser pick must re-run at the measured packing and come
+    out loss-free — no hand flags."""
+    import jax.numpy as jnp
+
+    from ppsim_tpu.state import ParticleState
+
+    cfg = SimConfig(num_parts=16)
+    eng = get_engine("grid", cfg)
+    cap0 = eng.geom.capacity
+    assert cap0 < 16  # the scenario must actually overflow the chooser pick
+    # 16 static particles in one 0.05-side bin, pairwise > cutoff (0.0135
+    # grid spacing): zero forces, zero velocity — positions must survive
+    # the heal byte-for-byte.
+    xs = np.linspace(0.004, 0.0445, 4)
+    pos = np.stack(np.meshgrid(xs, xs), -1).reshape(16, 2).astype(np.float32)
+    state = ParticleState(jnp.asarray(pos), jnp.zeros((16, 2), jnp.float32))
+
+    res = eng.run(state, nsteps=4)
+    assert eng.geom.capacity == 16          # escalated to the exact packing
+    eng.check(res)                          # clean after the heal
+    assert int(res.monitors.migrate_dropped) == 0
+    np.testing.assert_array_equal(np.asarray(res.state.pos), pos)
+
+
+def test_grid_escalation_gates():
+    """The heal never fires for hand capacities (ablations under-provision
+    on purpose) and the 2D sharded engines opt out (their shard_map
+    closures bind geometry at init)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ppsim_tpu.engines.base import Monitors, RunResult
+
+    fake = RunResult(None, None, Monitors(jnp.int32(0), jnp.int32(3),
+                                          jnp.float32(0.0), jnp.int32(0)))
+
+    hand = get_engine("grid", SimConfig(num_parts=1000, grid_capacity=1,
+                                        evac_capacity=1))
+    assert not hand.maybe_escalate_after_drop(fake)
+
+    auto = get_engine("grid", SimConfig(num_parts=1000))
+    cap0 = auto.geom.capacity
+    assert auto.maybe_escalate_after_drop(fake)
+    assert auto.geom.capacity == cap0 + 1
+
+    from ppsim_tpu.engines.sharded_grid import ShardedGridEngine
+
+    sharded = ShardedGridEngine(SimConfig(num_parts=1000),
+                                devices=jax.devices()[:2], impl="xla")
+    assert not sharded.maybe_escalate_after_drop(fake)
+
+
 def test_unknown_engine_rejected():
     with pytest.raises(ValueError, match="unknown engine"):
         get_engine("cuda", SimConfig())

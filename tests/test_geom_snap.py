@@ -24,7 +24,7 @@ def _cost(cfg, g):
 
 @pytest.mark.parametrize("n", [1_048_576, 4_194_304, 16_384_000, 20_971_520])
 def test_snap_chooser_invariants(n):
-    from ppsim_tpu.ops.grid_ops import _GEOM_FREE_MARGIN
+    from ppsim_tpu.ops.grid_ops import _GEOM_FREE_MARGIN, GRID_CAPACITY_DEFAULT
 
     cfg = SimConfig(num_parts=n, grid_snap_lanes=True)
     g = SlabGeometry.for_config(cfg)
@@ -37,7 +37,7 @@ def test_snap_chooser_invariants(n):
         assert g.rows % 128 == 0  # exact cover: zero padded rows/cols
         assert g.rows_pad == g.rows and g.cols_pad == g.cols
         occ = n / (g.rows * g.cols)
-        headroom = cfg.grid_capacity - math.ceil(n / (g0.rows * g0.cols))
+        headroom = GRID_CAPACITY_DEFAULT - math.ceil(n / (g0.rows * g0.cols))
         assert g.capacity == math.ceil(occ + _GEOM_FREE_MARGIN) + headroom
         # Deferral-pressure guard: free slack strictly above the measured
         # failure cliff (free == headroom dropped particles at 16.38M).
