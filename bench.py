@@ -99,6 +99,7 @@ def wait_for_device(tries: int = 5, probe_timeout: float = 120.0,
 
 
 TUNED_CADENCE = 11
+TUNED_CADENCE3 = 2
 
 
 def tuned_cadence_applies(args) -> bool:
@@ -112,6 +113,30 @@ def tuned_cadence_applies(args) -> bool:
     tests/test_bench_logic.py."""
     return (args.rebin_every is None and args.ndim == 2
             and args.engine == "pallas" and args.chunk_steps is None
+            and not args.quick and args.n >= 1_000_000
+            and args.steps >= 100)
+
+
+def tuned_cadence3_applies(args) -> bool:
+    """3D analog of :func:`tuned_cadence_applies` (r5).
+
+    The one-process 3D cadence A/B at n=20.97M ("ab": "rebin_cadence"
+    ndim-3 rows, bench/results_tpu3d.jsonl) measured cadence 2 at 223.8M
+    p-s/s vs cadence 1 at 191.4M, monitors clean (drift 0.0040 < slack
+    0.0053); cadence 4 tripped the drop monitor (3 dropped) and is
+    rejected. Setting rebin3_every=2 EXPLICITLY also matters beyond the
+    cadence itself: it flips Geometry3S.for_config to the zs=256
+    lane-snapped candidate (the auto-cadence scorer rejects it because the
+    worst-case _VMAX_TAIL drift bound allows it only cadence 1; the
+    measured run max speed 3.96 stays well inside slack at cadence 2, and
+    the post-run check re-verifies that on every run). Chunked runs stay
+    eligible — the 20.97M 3D headline MUST chunk (relay execution kill) —
+    as long as the chunk divides the cadence quantum. Monitor trips fall
+    back to the auto config, same as 2D."""
+    return (args.rebin_every is None and args.ndim == 3
+            and args.engine == "pallas3d"
+            and (args.chunk_steps is None
+                 or args.chunk_steps % TUNED_CADENCE3 == 0)
             and not args.quick and args.n >= 1_000_000
             and args.steps >= 100)
 
@@ -197,11 +222,14 @@ def _measure(args) -> int:
     from ppsim_tpu.harness import timed_run_repeats
     from ppsim_tpu.initlib import init_particles
 
+    # --rebin-every maps to the dimension's cadence field (rebin3_every in
+    # 3D), same as the CLI harness.
+    cadence_key = "rebin_every" if args.ndim == 2 else "rebin3_every"
     kw = {k: v for k, v in (("density", args.density),
                             ("force_law", args.force_law),
                             ("dt", args.dt),
                             ("grid3_capacity", args.grid3_capacity),
-                            ("rebin_every", args.rebin_every))
+                            (cadence_key, args.rebin_every))
           if v is not None}
     if args.ndim != 2:
         kw["ndim"] = args.ndim
@@ -210,6 +238,9 @@ def _measure(args) -> int:
     tuned_cadence = tuned_cadence_applies(args)
     if tuned_cadence:
         kw["rebin_every"] = TUNED_CADENCE  # measured win; see --rebin-every
+    elif tuned_cadence3_applies(args):
+        tuned_cadence = True
+        kw["rebin3_every"] = TUNED_CADENCE3  # see tuned_cadence3_applies
     config = SimConfig(num_parts=args.n, **kw)
     state = init_particles(config, seed=42, method="fast")
     fallback = False
@@ -229,7 +260,8 @@ def _measure(args) -> int:
             fallback = True
             config = SimConfig(num_parts=args.n,
                                **{k: v for k, v in kw.items()
-                                  if k != "rebin_every"})
+                                  if k not in ("rebin_every",
+                                               "rebin3_every")})
 
     best = min(times)
     psteps = args.n * args.steps / best
@@ -248,7 +280,8 @@ def _measure(args) -> int:
                     "deferred": int(result.monitors.deferred),
                     "max_speed": float(result.monitors.max_speed),
                 },
-                "config": {"rebin_every": config.rebin_every,
+                "config": {"rebin_every": (config.rebin_every if args.ndim == 2
+                                           else config.rebin3_every),
                            "grid_snap_lanes": config.grid_snap_lanes,
                            "cadence_fallback": fallback},
             }

@@ -115,6 +115,18 @@ class SimConfig:
     # disables both the LJ capacity floor and the engines' drop-detected
     # capacity-escalation retry (engines/grid3d.py).
     grid3_capacity: Optional[int] = None
+    # Deferral-style init spill (r5): when the t=0 packing exceeds the
+    # capacity, move each overfull bin's boundary-proximate overflow into
+    # the face-adjacent bin it is within the stale-slack budget of, instead
+    # of raising capacity for the whole run (lane work scales ~capacity²;
+    # the 20.97M 3D lattice packs ONE slot past the chooser capacity in
+    # ~98k bins while the running rebin absorbs more via deferral — see
+    # ops/grid3d_ops.slab3_from_particles_spill). None = auto: enabled for
+    # auto capacity, disabled for hand grid3_capacity overrides (ablations
+    # under-provision on purpose and must see the raise). True forces it on
+    # even with a hand capacity; False disables. A spill that cannot place
+    # everything falls back to the capacity raise, loss-free.
+    grid3_spill: Optional[bool] = None
     # Snap the 3D grid's lane/sublane axes: choose per-axis bin sizes so the
     # z bin count lands on a multiple of 128 (the TPU lane tile) and x on a
     # multiple of 8 (sublanes), compensating occupancy with the other axes

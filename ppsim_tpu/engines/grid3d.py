@@ -127,6 +127,39 @@ class Grid3DEngine(GridEngine):
             )
         return cache[cap]
 
+    # ------------------------------------------------- init spill (r5)
+    def _spill_enabled(self) -> bool:
+        if self.config.grid3_spill is not None:
+            return self.config.grid3_spill
+        # Auto: only with auto capacity — hand overrides are ablations
+        # that must observe the raise (same contract as the LJ floor).
+        return self.config.grid3_capacity is None
+
+    def _spill_depth(self) -> float:
+        """Max face distance an init-spilled particle may sit from its
+        residence bin: the stale-slack budget minus the worst-case drift
+        before the first rebin, under the same _VMAX_TAIL speed bound the
+        cadence chooser trusts — so spill excursion + drift <= slack by
+        construction, and the post-run check still re-verifies drift
+        against the MEASURED max speed."""
+        g = self.geom
+        slack = (min(g.bsx, g.bsy, g.bsz) - self.config.cutoff) / 2.0
+        drift = (self.rebin_every * grid3d_ops._VMAX_TAIL
+                 * self.config.grid3_vmax * self.config.dt)
+        return max(0.0, slack - drift)
+
+    def _pack_spill_jit(self):
+        cache = self.__dict__.setdefault("_packs_spill", {})
+        cap = self.geom.capacity
+        if cap not in cache:
+            geom = self.geom
+            depth = self._spill_depth()
+            cache[cap] = jax.jit(
+                lambda p, v: grid3d_ops.slab3_from_particles_spill(
+                    p, v, geom, depth)
+            )
+        return cache[cap]
+
     # Run-tail headroom on top of the measured initial packing, keyed on
     # the force law: the repulsive law's measured run max never exceeds its
     # initial lattice packing (20.97M: packs 12, runs at 12), while LJ's
@@ -179,22 +212,46 @@ class Grid3DEngine(GridEngine):
             # still rides the monitors, belt-and-braces).
             if self.geom.capacity != self._pack_capacity:
                 self._set_capacity(self._pack_capacity)
-            slab, overflow = self._pack_jit()(state.pos, state.vel)
+            if getattr(self, "_pack_spill", False):
+                slab, overflow, _ = self._pack_spill_jit()(
+                    state.pos, state.vel)
+            else:
+                slab, overflow = self._pack_jit()(state.pos, state.vel)
             return GridCarry(slab, jnp.zeros((), jnp.int32),
                              seed_pack_monitors(overflow, self.capacity))
 
         # First call (the warmup path in the timed drivers): measure the
-        # initial packing, auto-raising once if the lattice packs past the
-        # chooser capacity. The one int(overflow) sync here happens outside
-        # any timer.
+        # initial packing, spilling or auto-raising once if the lattice
+        # packs past the chooser capacity. The host syncs here happen
+        # outside any timer.
         slab, overflow = self._pack_jit()(state.pos, state.vel)
         if int(overflow):
-            # Auto-raise: the initial lattice packing is measured exactly
-            # (packing = capacity + overflow), so rebuild the geometry at
-            # packing + the law-keyed run-tail margin and re-pack once.
             import sys
 
             packing = self.capacity + int(overflow)
+            if self._spill_enabled() and self._spill_depth() > 0.0:
+                # Deferral-style spill: keep the chooser capacity (lane
+                # work scales ~capacity²) by parking the overflow one bin
+                # over, inside the stale-slack envelope — the same state a
+                # mid-run rebin deferral produces. Falls through to the
+                # raise when the spill cannot place everything.
+                slab2, ovf2, spilled = self._pack_spill_jit()(
+                    state.pos, state.vel)
+                if int(ovf2) == 0:
+                    print(
+                        f"grid3d: initial packing {packing} exceeds "
+                        f"capacity {self.capacity}; spilled "
+                        f"{int(spilled)} boundary particle(s) to adjacent "
+                        f"bins (deferral-style, excursion <= "
+                        f"{self._spill_depth():.4g}) instead of raising "
+                        "capacity", file=sys.stderr)
+                    self._pack_spill = True
+                    self._pack_capacity = self.geom.capacity
+                    return GridCarry(slab2, jnp.zeros((), jnp.int32),
+                                     seed_pack_monitors(ovf2, self.capacity))
+            # Auto-raise: the initial lattice packing is measured exactly
+            # (packing = capacity + overflow), so rebuild the geometry at
+            # packing + the law-keyed run-tail margin and re-pack once.
             new_cap = packing + self._TAIL_SLOTS.get(
                 self.config.force_law, 1)
             print(

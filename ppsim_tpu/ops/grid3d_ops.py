@@ -234,23 +234,36 @@ class Slab3State(NamedTuple):
 
 
 # ----------------------------------------------------------------- packing
-def slab3_from_particles(pos, vel, geom: Geometry3S):
-    """Pack an (N, 3) particle list into the 3D slab grid (init path).
-
-    Same sort+rank+scatter as the 2D packer (grid_ops.slab_from_particles).
-    Returns (Slab3State, overflow_count).
-    """
-    from ppsim_tpu.ops.binning import sort_by_bin
-
-    pos = jnp.asarray(pos, jnp.float32)
-    vel = jnp.asarray(vel, jnp.float32)
+def _home_bins(pos, geom: Geometry3S):
+    """Per-axis home bin indices and the padded-flat bin id for each row."""
     bx = jnp.clip((pos[:, 0] * jnp.float32(1.0 / geom.bsx)).astype(jnp.int32),
                   0, geom.xs - 1)
     by = jnp.clip((pos[:, 1] * jnp.float32(1.0 / geom.bsy)).astype(jnp.int32),
                   0, geom.ys - 1)
     bz = jnp.clip((pos[:, 2] * jnp.float32(1.0 / geom.bsz)).astype(jnp.int32),
                   0, geom.zs - 1)
-    bin_id = (by * geom.xs_pad + bx) * geom.zs_pad + bz
+    return bx, by, bz, (by * geom.xs_pad + bx) * geom.zs_pad + bz
+
+
+def slab3_from_particles(pos, vel, geom: Geometry3S):
+    """Pack an (N, 3) particle list into the 3D slab grid (init path).
+
+    Same sort+rank+scatter as the 2D packer (grid_ops.slab_from_particles).
+    Returns (Slab3State, overflow_count).
+    """
+    pos = jnp.asarray(pos, jnp.float32)
+    vel = jnp.asarray(vel, jnp.float32)
+    _, _, _, bin_id = _home_bins(pos, geom)
+    return _scatter_pack(pos, vel, bin_id, geom)
+
+
+def _scatter_pack(pos, vel, bin_id, geom: Geometry3S):
+    """Sort+rank+scatter tail shared by the plain and spill packers. The
+    slot a particle lands in derives from ``bin_id`` (its RESIDENCE bin),
+    so local coordinates are stored relative to that bin's origin — a
+    spilled particle's local coordinate sits just outside [0, bs), exactly
+    like a rebin-deferred mover's."""
+    from ppsim_tpu.ops.binning import sort_by_bin
 
     order, sorted_id, rank = sort_by_bin(bin_id)
     plane = geom.ys_pad * geom.xs_pad * geom.zs_pad
@@ -277,6 +290,80 @@ def slab3_from_particles(pos, vel, geom: Geometry3S):
     )
     overflow = jnp.maximum(rank.max() + 1 - geom.capacity, 0).astype(jnp.int32)
     return state, overflow
+
+
+def slab3_from_particles_spill(pos, vel, geom: Geometry3S, depth: float):
+    """Deferral-style init pack: place overfull-bin overflow in an adjacent
+    bin instead of raising the slot capacity (r5).
+
+    The t=0 lattice at the 20.97M stretch scale packs ONE slot past the
+    chooser capacity in ~98k bins while the running rebin absorbs a larger
+    instantaneous demand (13-15) loss-free via deferral at that same
+    capacity (bench/results_tpu3d.jsonl "repack_demand" / "rebin_cadence"
+    rows) — so the whole-run capacity raise, and its ~(12/11)^2 lane-work
+    tax, exists only to survive the initial pack. This packer instead moves
+    one boundary-proximate particle per overfull bin into the face-adjacent
+    bin it is within ``depth`` of: the resulting state is indistinguishable
+    from a mid-run rebin deferral (particle resides one bin off its
+    position's bin, within the stale-slack envelope), which the step
+    stencil and the monitors already handle. ``depth`` must be chosen so
+    excursion + worst-case drift before the first rebin stays inside the
+    stale-bin slack (engines/grid3d.py Grid3DEngine._spill_depth uses the
+    same _VMAX_TAIL discipline as the cadence chooser).
+
+    Spill targets need a free slot (pre-spill count < capacity); donors and
+    receivers are disjoint (donors are overfull). Rarely, several donors
+    may pick the same nearly-full receiver — the final overflow count
+    catches that, and the caller falls back to the capacity raise, so a
+    failed spill is loss-free by construction.
+
+    Returns (Slab3State, overflow_count, spilled_count).
+    """
+    from ppsim_tpu.ops.binning import sort_by_bin
+
+    pos = jnp.asarray(pos, jnp.float32)
+    vel = jnp.asarray(vel, jnp.float32)
+    bx, by, bz, bid = _home_bins(pos, geom)
+    cap = geom.capacity
+    n = pos.shape[0]
+    nbins = geom.ys_pad * geom.xs_pad * geom.zs_pad
+    counts = jnp.zeros((nbins,), jnp.int32).at[bid].add(1)
+    need = counts[bid] - cap  # >0 exactly for particles in overfull bins
+    depth_f = jnp.float32(depth)
+
+    # Nearest eligible face per particle: in-grid neighbor with a free
+    # slot, face distance <= depth. strides follow the padded-flat id
+    # layout bid = (by*xs_pad + bx)*zs_pad + bz.
+    best_dist = jnp.full((n,), jnp.float32(BIG))
+    best_delta = jnp.zeros((n,), jnp.int32)
+    axes = (
+        (bx, pos[:, 0], geom.bsx, geom.xs, geom.zs_pad),
+        (by, pos[:, 1], geom.bsy, geom.ys, geom.xs_pad * geom.zs_pad),
+        (bz, pos[:, 2], geom.bsz, geom.zs, 1),
+    )
+    for b_ax, p_ax, bs_ax, dim_ax, stride in axes:
+        lo = b_ax.astype(jnp.float32) * jnp.float32(bs_ax)
+        for sgn, dist in ((-1, p_ax - lo),
+                          (1, lo + jnp.float32(bs_ax) - p_ax)):
+            nb = b_ax + sgn
+            ok = (nb >= 0) & (nb < dim_ax)
+            nbid = jnp.clip(bid + sgn * stride, 0, nbins - 1)
+            ok &= counts[nbid] < cap
+            cand = ok & (dist <= depth_f) & (dist < best_dist)
+            best_delta = jnp.where(cand, sgn * stride, best_delta)
+            best_dist = jnp.where(cand, dist, best_dist)
+
+    elig = (need > 0) & (best_delta != 0)
+    # Need-bounded selection: rank eligibles first within each home bin
+    # (key parity encodes eligibility; nbins*2 stays far inside int32) and
+    # spill only the first (count - capacity) of them per bin.
+    key = bid * 2 + (1 - elig.astype(jnp.int32))
+    order2, sorted_key, rank2 = sort_by_bin(key)
+    sel = (sorted_key % 2 == 0) & (rank2 < need[order2])
+    spill = jnp.zeros((n,), bool).at[order2].set(sel)
+    new_bid = jnp.where(spill, bid + best_delta, bid)
+    state, overflow = _scatter_pack(pos, vel, new_bid, geom)
+    return state, overflow, spill.sum().astype(jnp.int32)
 
 
 def _offsets(geom: Geometry3S, shape, y0=0):

@@ -634,3 +634,119 @@ def test_sharded_grid3d_escalation_self_heals():
                                np.asarray(r2.state.pos), atol=1e-7)
     pid_alive = int((np.asarray(r2.state.pos) != 0).any(axis=1).sum())
     assert pid_alive == cfg.num_parts
+
+
+# ---------------------------------------------------------------- spill
+# Deferral-style init spill (r5): the t=0 packing overflow is parked one
+# bin over (inside the stale-slack envelope) instead of raising the slot
+# capacity for the whole run — ops/grid3d_ops.slab3_from_particles_spill.
+
+def _spill_cfg(**over):
+    base = dict(num_parts=8, ndim=3, density=7e-6, grid3_capacity=2,
+                rebin3_every=1, grid3_spill=True)
+    base.update(over)
+    return SimConfig(**base)
+
+
+def _spill_state(face_particle=(0.0295, 0.015, 0.015)):
+    """8 particles on a 2x2x2 grid (bs=0.03): three in bin (0,0,0) — one
+    slot past capacity 2 — with ``face_particle`` controlling whether the
+    overflow has a face within the spill depth (0.007 at cadence 1)."""
+    from ppsim_tpu.state import make_state
+
+    pos = np.array([
+        [0.005, 0.005, 0.005],   # bin (0,0,0)
+        [0.012, 0.012, 0.012],   # bin (0,0,0)
+        list(face_particle),     # bin (0,0,0) — the packing overflow
+        [0.035, 0.005, 0.005],   # bin (1,0,0): the spill target, 1 free slot
+        [0.005, 0.035, 0.005],
+        [0.005, 0.005, 0.035],
+        [0.035, 0.035, 0.005],
+        [0.035, 0.035, 0.035],
+    ], np.float32)
+    vel = 0.05 * np.arange(24, dtype=np.float32).reshape(8, 3) - 0.5
+    return make_state(pos, vel)
+
+
+def test_spill_pack_places_overflow_losslessly():
+    from ppsim_tpu.engines.grid3d import Grid3DEngine
+    from ppsim_tpu.ops.grid3d_ops import (
+        slab3_from_particles,
+        slab3_from_particles_spill,
+        slab3_to_particles,
+    )
+
+    cfg = _spill_cfg()
+    st = _spill_state()
+    eng = Grid3DEngine(cfg)
+    assert eng.capacity == 2
+    _, ovf = slab3_from_particles(st.pos, st.vel, eng.geom)
+    assert int(ovf) == 1  # the plain pack overflows: bin (0,0,0) holds 3
+
+    depth = eng._spill_depth()
+    assert depth > 0.0005  # the face particle sits 0.0005 from +x
+    slab, ovf2, spilled = slab3_from_particles_spill(
+        st.pos, st.vel, eng.geom, depth)
+    assert int(ovf2) == 0
+    assert int(spilled) == 1
+    # Loss-free and position-exact: every particle round-trips bit-equal.
+    pos2, vel2 = slab3_to_particles(slab, eng.geom, cfg.num_parts)
+    np.testing.assert_array_equal(np.asarray(pos2), np.asarray(st.pos))
+    np.testing.assert_array_equal(np.asarray(vel2), np.asarray(st.vel))
+
+
+def test_spill_engine_keeps_capacity_and_matches_reference_forces():
+    """A spilled particle resides one bin off its position's bin, within
+    slack — the stencil must still see every pair. One plain step at the
+    spilled capacity-2 layout must match a roomy capacity-4 engine."""
+    import dataclasses
+
+    import jax
+
+    from ppsim_tpu.engines.grid3d import Grid3DEngine
+
+    cfg = _spill_cfg()
+    st = _spill_state()
+    eng = Grid3DEngine(cfg)
+    carry = eng.init_carry(st)
+    assert eng.capacity == 2                   # spill kept the capacity
+    assert getattr(eng, "_pack_spill", False)
+    carry = jax.jit(eng.step_plain)(carry)
+
+    ref = Grid3DEngine(dataclasses.replace(cfg, grid3_capacity=4))
+    ref_carry = jax.jit(ref.step_plain)(ref.init_carry(st))
+    np.testing.assert_allclose(
+        np.asarray(eng.final_state_jit(carry).pos),
+        np.asarray(ref.final_state_jit(ref_carry).pos), atol=1e-6)
+    # Steady-state repacks (every timed repeat) reuse the spill program.
+    carry2 = eng.init_carry(st)
+    from ppsim_tpu.ops.grid3d_ops import slab3_to_particles
+    pos2, _ = slab3_to_particles(carry2.slab, eng.geom, cfg.num_parts)
+    np.testing.assert_array_equal(np.asarray(pos2), np.asarray(st.pos))
+
+
+def test_spill_falls_back_to_raise_when_nothing_is_near_a_face():
+    """An overflow particle at the bin center (no face within depth) must
+    fall through to the measured auto-raise, loss-free."""
+    from ppsim_tpu.engines.grid3d import Grid3DEngine
+
+    st = _spill_state(face_particle=(0.015, 0.015, 0.015))
+    eng = Grid3DEngine(_spill_cfg())
+    eng.init_carry(st)
+    assert eng.capacity == 3                  # raised to the packing
+    assert not getattr(eng, "_pack_spill", False)
+
+
+def test_spill_auto_gate_respects_hand_capacity():
+    """grid3_spill=None (auto) only spills for auto capacity: hand
+    grid3_capacity ablations must observe the raise (same contract as the
+    LJ floor); grid3_spill=False disables everywhere."""
+    from ppsim_tpu.engines.grid3d import Grid3DEngine
+
+    st = _spill_state()
+    hand = Grid3DEngine(_spill_cfg(grid3_spill=None))
+    hand.init_carry(st)
+    assert hand.capacity == 3                 # raised, not spilled
+    off = Grid3DEngine(_spill_cfg(grid3_spill=False))
+    off.init_carry(st)
+    assert off.capacity == 3

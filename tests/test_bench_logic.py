@@ -79,3 +79,30 @@ def test_wait_for_device_succeeds_on_cpu_and_bounds_failures():
     # "probe 1/0 failed" print — r3 advisor finding).
     assert not bench.wait_for_device(tries=0, env=env,
                                      executable="/bin/false")
+
+
+def test_tuned_cadence3_on_the_3d_headline_config():
+    # r5 A/B at 20.97M: cadence 2 at 223.8M p-s/s (monitors clean) vs
+    # cadence 1 at 191.4M; cadence 4 dropped 3 and is rejected
+    # (bench/results_tpu3d.jsonl "ab": "rebin_cadence" ndim-3 rows).
+    assert bench.TUNED_CADENCE3 == 2
+    assert bench.tuned_cadence3_applies(
+        _args(ndim=3, engine="pallas3d"))
+    # The 3D headline must chunk (relay execution kill): chunked runs stay
+    # eligible when the chunk divides the cadence quantum.
+    assert bench.tuned_cadence3_applies(
+        _args(ndim=3, engine="pallas3d", chunk_steps=200))
+
+
+def test_tuned_cadence3_only_in_the_validated_regime():
+    assert not bench.tuned_cadence3_applies(
+        _args(ndim=3, engine="pallas3d", rebin_every=2))  # explicit wins
+    assert not bench.tuned_cadence3_applies(_args())      # 2D headline
+    assert not bench.tuned_cadence3_applies(
+        _args(ndim=3, engine="grid3d"))
+    assert not bench.tuned_cadence3_applies(
+        _args(ndim=3, engine="pallas3d", quick=True))
+    assert not bench.tuned_cadence3_applies(
+        _args(ndim=3, engine="pallas3d", chunk_steps=25))  # misaligned
+    assert not bench.tuned_cadence3_applies(
+        _args(ndim=3, engine="pallas3d", n=262_144))
