@@ -38,7 +38,13 @@ P100_PSTEPS_BEST = 16_384_000 * 1000 / 50.85  # 322.2M, part3 PDF Tables 1&3
 # failure looks like that transient class, so one relay hiccup doesn't
 # turn into a missing benchmark record.
 _TRANSIENT_MARKERS = ("UNAVAILABLE", "crashed or restarted", "DEADLINE_EXCEEDED",
-                      "Socket closed", "failed to connect")
+                      "Socket closed", "failed to connect",
+                      # Degraded compile-helper runs (chipless AOT with a
+                      # pathological layout; per-request luck — CLAUDE.md).
+                      # The harness warm phases already retry these
+                      # in-process (harness._warm_with_retry); this is the
+                      # fresh-process backstop when those retries exhaust.
+                      "remote_compile", "tpu_compile_helper")
 
 _PROBE_CODE = (
     "import jax, numpy as np\n"
@@ -99,7 +105,16 @@ def wait_for_device(tries: int = 5, probe_timeout: float = 120.0,
 
 
 TUNED_CADENCE = 11
-TUNED_CADENCE3 = 2
+
+# There is deliberately NO tuned 3D cadence (r5). The 3D cadence A/B at
+# 20.97M measured cadence 2 at 223.8M p-s/s — but setting rebin3_every
+# explicitly also flips Geometry3S.for_config to the zs=256 candidate,
+# and the deferral-style init spill (ops/grid3d_ops) then made the plain
+# AUTO config faster still: 229.2M p-s/s at the chooser capacity 11 on
+# the auto [205,208,128] geometry, same session as a 175.6M raise-arm
+# anchor that reproduced the earlier sessions' number exactly
+# ("ab": "init_spill" rows, bench/results_tpu3d.jsonl). Auto cadence is
+# already the A/B winner (2), so the 3D headline ships config defaults.
 
 
 def tuned_cadence_applies(args) -> bool:
@@ -113,30 +128,6 @@ def tuned_cadence_applies(args) -> bool:
     tests/test_bench_logic.py."""
     return (args.rebin_every is None and args.ndim == 2
             and args.engine == "pallas" and args.chunk_steps is None
-            and not args.quick and args.n >= 1_000_000
-            and args.steps >= 100)
-
-
-def tuned_cadence3_applies(args) -> bool:
-    """3D analog of :func:`tuned_cadence_applies` (r5).
-
-    The one-process 3D cadence A/B at n=20.97M ("ab": "rebin_cadence"
-    ndim-3 rows, bench/results_tpu3d.jsonl) measured cadence 2 at 223.8M
-    p-s/s vs cadence 1 at 191.4M, monitors clean (drift 0.0040 < slack
-    0.0053); cadence 4 tripped the drop monitor (3 dropped) and is
-    rejected. Setting rebin3_every=2 EXPLICITLY also matters beyond the
-    cadence itself: it flips Geometry3S.for_config to the zs=256
-    lane-snapped candidate (the auto-cadence scorer rejects it because the
-    worst-case _VMAX_TAIL drift bound allows it only cadence 1; the
-    measured run max speed 3.96 stays well inside slack at cadence 2, and
-    the post-run check re-verifies that on every run). Chunked runs stay
-    eligible — the 20.97M 3D headline MUST chunk (relay execution kill) —
-    as long as the chunk divides the cadence quantum. Monitor trips fall
-    back to the auto config, same as 2D."""
-    return (args.rebin_every is None and args.ndim == 3
-            and args.engine == "pallas3d"
-            and (args.chunk_steps is None
-                 or args.chunk_steps % TUNED_CADENCE3 == 0)
             and not args.quick and args.n >= 1_000_000
             and args.steps >= 100)
 
@@ -238,9 +229,6 @@ def _measure(args) -> int:
     tuned_cadence = tuned_cadence_applies(args)
     if tuned_cadence:
         kw["rebin_every"] = TUNED_CADENCE  # measured win; see --rebin-every
-    elif tuned_cadence3_applies(args):
-        tuned_cadence = True
-        kw["rebin3_every"] = TUNED_CADENCE3  # see tuned_cadence3_applies
     config = SimConfig(num_parts=args.n, **kw)
     state = init_particles(config, seed=42, method="fast")
     fallback = False

@@ -126,6 +126,43 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# The relay terminal's compile helper intermittently degrades ("could not
+# determine TPU accelerator type") and then AOT-compiles chiplessly with a
+# pathological layout choice that OOMs at COMPILE time (observed: the 2D
+# pack's n-element sort temporary f32[2,n,8] tiled 16x to 21.5 GB by
+# T(8,128) padding; four identical failures across 2 h while the same
+# program compiled clean in between — per-request luck, CLAUDE.md). Two
+# facts make a warm-phase retry the right fix: compiles happen only in
+# warm phases (the timed region replays already-compiled programs), and a
+# retry re-submits ONLY programs whose compile failed (successes sit in
+# the in-process executable cache). NOTE the axon backend surfaces async
+# compile failures at a LATER call than the one that submitted them (a 2D
+# init_carry pack failure raises at the first segment warm call), so the
+# retryable unit is the whole warm phase, re-running init_carry included.
+_COMPILE_TRANSIENT_MARKERS = ("remote_compile", "tpu_compile_helper")
+_WARM_RETRIES = 8
+_WARM_RETRY_SLEEP_S = 30.0
+
+
+def _warm_with_retry(phase_fn, what: str):
+    """Run an untimed warm/compile phase, retrying the transient
+    remote-compile-helper failure class (see the marker notes above)."""
+    for i in range(_WARM_RETRIES + 1):
+        try:
+            return phase_fn()
+        except Exception as e:  # noqa: BLE001 — classify, retry marked only
+            msg = f"{type(e).__name__}: {e}"
+            if i >= _WARM_RETRIES or not any(
+                    m in msg for m in _COMPILE_TRANSIENT_MARKERS):
+                raise
+            print(
+                f"harness: transient remote-compile failure during {what} "
+                f"warmup (attempt {i + 1}/{_WARM_RETRIES}); retrying in "
+                f"{_WARM_RETRY_SLEEP_S:g}s: {msg.splitlines()[0][:160]}",
+                file=sys.stderr)
+            time.sleep(_WARM_RETRY_SLEEP_S)
+
+
 def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
                       repeats: int = 3, chunk_steps: int = None):
     """AOT-compile the run program once, then execute the timed region
@@ -180,7 +217,8 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
     # H2D transfer happens ONCE, before the timer — the same boundary as the
     # reference's cudaMemcpy before start_time (part3/main.cu:120-125).
     state = jax.device_put(state)
-    warm_carry = engine.init_carry(state)
+    warm_carry = _warm_with_retry(
+        lambda: engine.init_carry(state), "init-pack")
     if savefreq <= 0:
         # Capacity-phase repack (Grid3DEngine.repack_plan): prologue at the
         # packing capacity, then a verified repack down to the run capacity
@@ -202,14 +240,19 @@ def timed_run_repeats(engine, state: ParticleState, nsteps: int, savefreq: int,
                 segs = [min_s, nsteps - min_s]
             return _timed_run_phased(engine, state, warm_carry, segs,
                                      nsteps, repeats, plan)
-    program = engine._program(chunk_steps, savefreq)
-    compiled = program.lower(warm_carry).compile()
     # Warm EVERY op the timed region will run, including the scalar sync
     # probe: even an eager ``pos[0]`` slice triggers a fresh (remote) compile
     # worth tens of seconds the first time it runs on a relayed TPU.
     probe = jax.jit(lambda st: st.pos.ravel()[0])
-    warm_out, _ = compiled(warm_carry)
-    np.asarray(probe(engine.final_state_jit(warm_out)))
+
+    def _warm_phase():
+        wc = engine.init_carry(state)
+        comp = engine._program(chunk_steps, savefreq).lower(wc).compile()
+        wo, _ = comp(wc)
+        np.asarray(probe(engine.final_state_jit(wo)))
+        return comp
+
+    compiled = _warm_with_retry(_warm_phase, "run-program")
 
     times = []
     for _ in range(max(1, repeats)):
@@ -275,11 +318,17 @@ def _timed_run_phased(engine, state: ParticleState, warm_carry, segs,
     # Warmup/discovery pass (outside any timer): compiles every program the
     # timed replay will run — prologue segments at the packing capacity,
     # the repack, and the post-switch segments at the run capacity.
-    carry, attempts, switch_at = run_schedule(warm_carry, None, discover=True)
+    del warm_carry  # free the caller's slab before discovery re-inits
+
+    def _warm_phase():
+        c, at, sw = run_schedule(engine.init_carry(state), None,
+                                 discover=True)
+        np.asarray(probe(engine.final_state_jit(c)))
+        return at, sw
+
+    attempts, switch_at = _warm_with_retry(_warm_phase, "phased-discovery")
     engine._last_repack_switch = switch_at  # observability (bench/ab_repack)
     engine._last_repack_attempts = attempts
-    np.asarray(probe(engine.final_state_jit(carry)))
-    del carry, warm_carry
 
     times = []
     for _ in range(max(1, repeats)):
@@ -306,7 +355,7 @@ def _timed_run_segments(engine, state: ParticleState, nsteps: int,
     (saves happen inside its timed loop, part1/main.cpp:132-137)."""
     schedule = engine.saved_segment_schedule(nsteps, savefreq, max_seg)
     state = jax.device_put(state)
-    warm0 = engine.init_carry(state)
+    warm0 = _warm_with_retry(lambda: engine.init_carry(state), "init-pack")
     plan = engine.repack_plan(nsteps)
     if plan is not None:
         return _timed_run_segments_phased(engine, state, warm0, schedule,
@@ -333,14 +382,21 @@ def _timed_run_segments(engine, state: ParticleState, nsteps: int,
         )
     frame_jit = engine._frame_program()
     probe = jax.jit(lambda st: st.pos.ravel()[0])
+    del warm0  # free the measuring pack's slab before the warm chain
     # Warm every distinct program once, chained (segment programs donate
-    # their input carry, so each output feeds the next warm call).
-    warm = warm0
-    for key in dict.fromkeys(keys):
-        warm = progs[key](warm)
-    np.asarray(frame_jit(warm))
-    np.asarray(probe(engine.final_state_jit(warm)))
-    del warm
+    # their input carry, so each output feeds the next warm call). The
+    # phase re-runs init_carry on retry: the axon backend surfaces an
+    # async pack-compile failure at the FIRST SEGMENT call, with the pack
+    # uncompiled and the input carry dead (see _warm_with_retry notes).
+
+    def _warm_phase():
+        w = engine.init_carry(state)
+        for key in dict.fromkeys(keys):
+            w = progs[key](w)
+        np.asarray(frame_jit(w))
+        np.asarray(probe(engine.final_state_jit(w)))
+
+    _warm_with_retry(_warm_phase, "saved-segment")
 
     times = []
     for _ in range(max(1, repeats)):
@@ -418,12 +474,18 @@ def _timed_run_segments_phased(engine, state: ParticleState, warm_carry,
             frames.append(np.asarray(pending))
         return carry, frames, attempts_made, switched_after
 
-    carry, _, attempts, switch_at = run_schedule(warm_carry, None,
-                                                 discover=True)
+    del warm_carry  # free the caller's slab before discovery re-inits
+
+    def _warm_phase():
+        c, _, at, sw = run_schedule(engine.init_carry(state), None,
+                                    discover=True)
+        np.asarray(probe(engine.final_state_jit(c)))
+        return at, sw
+
+    attempts, switch_at = _warm_with_retry(_warm_phase,
+                                           "phased-segment-discovery")
     engine._last_repack_switch = switch_at  # observability
     engine._last_repack_attempts = attempts
-    np.asarray(probe(engine.final_state_jit(carry)))
-    del carry, warm_carry
 
     times = []
     for _ in range(max(1, repeats)):

@@ -81,28 +81,13 @@ def test_wait_for_device_succeeds_on_cpu_and_bounds_failures():
                                      executable="/bin/false")
 
 
-def test_tuned_cadence3_on_the_3d_headline_config():
-    # r5 A/B at 20.97M: cadence 2 at 223.8M p-s/s (monitors clean) vs
-    # cadence 1 at 191.4M; cadence 4 dropped 3 and is rejected
-    # (bench/results_tpu3d.jsonl "ab": "rebin_cadence" ndim-3 rows).
-    assert bench.TUNED_CADENCE3 == 2
-    assert bench.tuned_cadence3_applies(
-        _args(ndim=3, engine="pallas3d"))
-    # The 3D headline must chunk (relay execution kill): chunked runs stay
-    # eligible when the chunk divides the cadence quantum.
-    assert bench.tuned_cadence3_applies(
-        _args(ndim=3, engine="pallas3d", chunk_steps=200))
-
-
-def test_tuned_cadence3_only_in_the_validated_regime():
-    assert not bench.tuned_cadence3_applies(
-        _args(ndim=3, engine="pallas3d", rebin_every=2))  # explicit wins
-    assert not bench.tuned_cadence3_applies(_args())      # 2D headline
-    assert not bench.tuned_cadence3_applies(
-        _args(ndim=3, engine="grid3d"))
-    assert not bench.tuned_cadence3_applies(
-        _args(ndim=3, engine="pallas3d", quick=True))
-    assert not bench.tuned_cadence3_applies(
-        _args(ndim=3, engine="pallas3d", chunk_steps=25))  # misaligned
-    assert not bench.tuned_cadence3_applies(
-        _args(ndim=3, engine="pallas3d", n=262_144))
+def test_no_tuned_3d_cadence_is_deliberate():
+    # r5: the 3D cadence A/B measured cadence 2 (auto) as the winner, and
+    # the deferral-style init spill made the plain AUTO config the fastest
+    # measured 3D headline (229.2M p-s/s vs 223.8M for the explicit-
+    # cadence geometry flip, "ab": "init_spill" rows) — so the 3D headline
+    # ships config defaults and there is no TUNED_CADENCE3 to drift.
+    assert not hasattr(bench, "TUNED_CADENCE3")
+    assert not hasattr(bench, "tuned_cadence3_applies")
+    # The 2D machinery must not have widened to 3D in the process.
+    assert not bench.tuned_cadence_applies(_args(ndim=3, engine="pallas3d"))

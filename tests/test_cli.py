@@ -285,3 +285,48 @@ def test_timed_run_escalation_retry(monkeypatch):
     result, seconds = harness.timed_run(Eng(), None, 10, 0)
     assert result == "clean" and seconds == 1.5
     assert attempts == [10, 10]
+
+
+def test_warm_with_retry_classifies_transient_compiles(monkeypatch):
+    """harness._warm_with_retry retries ONLY the degraded compile-helper
+    class (remote_compile / tpu_compile_helper markers), re-running the
+    whole phase (the axon backend surfaces async pack-compile failures at
+    a later call, so the retryable unit is the phase, not one program)."""
+    from ppsim_tpu import harness
+
+    monkeypatch.setattr(harness, "_WARM_RETRY_SLEEP_S", 0.0)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError(
+                "INTERNAL: http://127.0.0.1:1/remote_compile: HTTP 500: "
+                "tpu_compile_helper subprocess exit code 1")
+        return "ok"
+
+    assert harness._warm_with_retry(flaky, "test") == "ok"
+    assert calls["n"] == 3
+
+    def hard():
+        raise ValueError("not a compile transient")
+
+    with pytest.raises(ValueError):
+        harness._warm_with_retry(hard, "test")
+
+    def always():
+        raise RuntimeError("remote_compile says no")
+
+    with pytest.raises(RuntimeError):
+        harness._warm_with_retry(always, "test")
+    # bench.py's fresh-process backstop classifies the same class.
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_headline_retry",
+        pathlib.Path(__file__).resolve().parent.parent / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert any(m in "http://x/remote_compile 500"
+               for m in bench._TRANSIENT_MARKERS)
