@@ -85,6 +85,16 @@ def run_one(engine_name: str, n: int, steps: int, devices=None, seed: int = 42,
                               getattr(engine, "rebin_every", 1))
     result, times = timed_run_repeats(engine, state, steps, 0, repeats=repeats,
                                       chunk_steps=chunk_steps)
+    # Drop-detected capacity self-heal, same bounded retry as the engine
+    # drivers (Engine.run / harness.timed_run): auto-capacity runs that
+    # outgrow their slots re-measure at the escalated capacity instead of
+    # dying at check() (e.g. 2D LJ at 20.97M outgrows cap 14 mid-run).
+    for _ in range(2):
+        if not engine.maybe_escalate_after_drop(result):
+            break
+        result, times = timed_run_repeats(engine, state, steps, 0,
+                                          repeats=repeats,
+                                          chunk_steps=chunk_steps)
     engine.check(result)
     best = min(times)
     return {
