@@ -750,3 +750,51 @@ def test_spill_auto_gate_respects_hand_capacity():
     off = Grid3DEngine(_spill_cfg(grid3_spill=False))
     off.init_carry(st)
     assert off.capacity == 3
+
+
+def test_spill_pack_handles_multi_overflow_and_collisions():
+    """need >= 2 spills both; a receiver without room for every donor
+    leaves a nonzero overflow (graceful: the engine then raises)."""
+    from ppsim_tpu.engines.grid3d import Grid3DEngine
+    from ppsim_tpu.ops.grid3d_ops import (
+        slab3_from_particles_spill,
+        slab3_to_particles,
+    )
+    from ppsim_tpu.state import make_state
+
+    cfg = _spill_cfg()
+    eng = Grid3DEngine(cfg)
+    depth = eng._spill_depth()
+
+    # 4 particles in bin (0,0,0) at capacity 2, two of them within depth
+    # of the +x face; receiver bin (1,0,0) empty -> both spill.
+    pos = np.array([
+        [0.005, 0.005, 0.005],
+        [0.012, 0.012, 0.012],
+        [0.0295, 0.008, 0.020],
+        [0.0296, 0.020, 0.008],
+        [0.005, 0.035, 0.005],
+        [0.005, 0.005, 0.035],
+        [0.035, 0.035, 0.005],
+        [0.035, 0.035, 0.035],
+    ], np.float32)
+    vel = np.zeros_like(pos)
+    st = make_state(pos, vel)
+    slab, ovf, spilled = slab3_from_particles_spill(
+        st.pos, st.vel, eng.geom, depth)
+    assert int(ovf) == 0
+    assert int(spilled) == 2
+    pos2, _ = slab3_to_particles(slab, eng.geom, cfg.num_parts)
+    np.testing.assert_array_equal(np.asarray(pos2), np.asarray(st.pos))
+
+    # Same donors, but the receiver already holds 1 of 2 slots: pre-spill
+    # eligibility sees a free slot for BOTH donors, the pack fits only
+    # one extra -> overflow 1, nothing dropped silently (the caller
+    # falls back to the capacity raise).
+    pos_c = pos.copy()
+    pos_c[4] = [0.035, 0.008, 0.008]  # occupy receiver bin (1,0,0)
+    st_c = make_state(pos_c, vel)
+    _, ovf_c, spilled_c = slab3_from_particles_spill(
+        st_c.pos, st_c.vel, eng.geom, depth)
+    assert int(ovf_c) == 1
+    assert int(spilled_c) == 2  # both were reassigned; the pack caught it
