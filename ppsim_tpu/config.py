@@ -189,6 +189,13 @@ class SimConfig:
     # `--grid-snap-lanes 0` restores the scale-derived geometry exactly.
     grid_snap_lanes: bool = True
 
+    # Initial slab packing rank computation, both grid families: "sort"
+    # (argsort by bin — the fast default) or "claim" (sort-free scatter-min
+    # rounds, bit-identical slab; the fallback when the relay's degraded
+    # compile helper OOMs on the pack sort's pathological layout choice —
+    # see binning.claim_ranks and CLAUDE.md's compile-helper notes).
+    grid_pack_mode: str = "sort"
+
     # ---- derived geometry ----
     @property
     def size(self) -> float:
@@ -293,6 +300,10 @@ class SimConfig:
             raise ValueError("rebin_every / evac_capacity must be >= 1")
         if self.grid_capacity is not None and self.grid_capacity < 1:
             raise ValueError("grid_capacity must be >= 1 (or None for auto)")
+        if self.grid_pack_mode not in ("sort", "claim"):
+            raise ValueError(
+                f"grid_pack_mode={self.grid_pack_mode!r}: must be 'sort' or "
+                f"'claim'")
         if self.grid_rebin_mode not in ("dirs9", "axes"):
             raise ValueError(
                 f"grid_rebin_mode={self.grid_rebin_mode!r}: must be 'dirs9' or 'axes'"

@@ -163,8 +163,9 @@ class GridEngine(Engine):
         cap = self.geom.capacity
         if cap not in cache:
             geom = self.geom  # bind NOW: self.geom mutates on escalation
+            mode = self.config.grid_pack_mode
             cache[cap] = jax.jit(
-                lambda p, v: grid_ops.slab_from_particles(p, v, geom)
+                lambda p, v: grid_ops.slab_from_particles(p, v, geom, mode)
             )
         return cache[cap]
 

@@ -122,8 +122,9 @@ class Grid3DEngine(GridEngine):
         cap = self.geom.capacity
         if cap not in cache:
             geom = self.geom  # bind NOW: self.geom mutates across phases
+            mode = self.config.grid_pack_mode
             cache[cap] = jax.jit(
-                lambda p, v: grid3d_ops.slab3_from_particles(p, v, geom)
+                lambda p, v: grid3d_ops.slab3_from_particles(p, v, geom, mode)
             )
         return cache[cap]
 
@@ -154,9 +155,10 @@ class Grid3DEngine(GridEngine):
         if cap not in cache:
             geom = self.geom
             depth = self._spill_depth()
+            mode = self.config.grid_pack_mode
             cache[cap] = jax.jit(
                 lambda p, v: grid3d_ops.slab3_from_particles_spill(
-                    p, v, geom, depth)
+                    p, v, geom, depth, mode)
             )
         return cache[cap]
 
@@ -343,9 +345,11 @@ class Grid3DEngine(GridEngine):
         if pkey not in self._programs:
             to_geom = dataclasses.replace(self.geom, capacity=to_cap)
 
+            mode = self.config.grid_pack_mode
+
             def pack(pos, vel, step, monitors):
                 slab, overflow = grid3d_ops.slab3_from_particles(
-                    pos, vel, to_geom)
+                    pos, vel, to_geom, mode)
                 return GridCarry(slab, step, monitors), overflow
 
             self._programs[pkey] = jax.jit(pack)

@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rebin-every", type=int, default=None,
                    help="grid engines: rebin cadence in steps (default from "
                         "config; routes to the active --ndim family)")
+    p.add_argument("--grid-pack-mode", default=None, choices=("sort", "claim"),
+                   help="slab engines: initial packing rank computation "
+                        "(sort = argsort by bin, the default; claim = "
+                        "sort-free scatter-min rounds — bit-identical slab, "
+                        "the fallback for the relay's degraded-compile-helper "
+                        "window on the pack sort)")
     p.add_argument("--grid-rebin-mode", default=None, choices=("dirs9", "axes"),
                    help="2D grid engines: rebin algorithm (dirs9 = 9-direction "
                         "shuffle, axes = axis-factorized rows+cols passes)")
@@ -557,6 +563,8 @@ def config_from_args(args) -> SimConfig:
         grid_kw["grid3_prologue_steps"] = args.grid3_prologue_steps
     if getattr(args, "grid_rebin_mode", None) is not None:
         grid_kw["grid_rebin_mode"] = args.grid_rebin_mode
+    if getattr(args, "grid_pack_mode", None) is not None:
+        grid_kw["grid_pack_mode"] = args.grid_pack_mode
     if getattr(args, "grid_snap_lanes", None) is not None:
         grid_kw["grid_snap_lanes"] = bool(args.grid_snap_lanes)
     if args.density is not None:

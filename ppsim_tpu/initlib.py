@@ -189,11 +189,20 @@ def init_particles_reference(num_parts: int, size: float, seed: int):
 import functools
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_parts", "size", "seed", "dtype", "ndim")
-)
+# Above this n, the "fast" initializer computes on the host CPU backend:
+# its jax.random.permutation is an n-element device sort whose accelerator
+# compile is the relay helper's pathological-layout class (a f32[2,n,8]
+# temporary tiled to 21.5 GB at 20.97M — CLAUDE.md), while init is OUTSIDE
+# the timing contract and the H2D transfer it adds is one the contract
+# already pays (harness device_puts the state before the timer).
+# jax.random is bitwise deterministic across backends, so the values are
+# identical either way.
+_FAST_HOST_N = 4_000_000
+
+
 def init_particles_fast(num_parts: int, size: float, seed: int,
-                        dtype=jnp.float32, ndim: int = 2):
+                        dtype=jnp.float32, ndim: int = 2,
+                        host: bool = None):
     """Device-side initializer, statistically equivalent to the reference.
 
     Same lattice geometry and shuffled (spatially unsorted) cell assignment as
@@ -202,7 +211,28 @@ def init_particles_fast(num_parts: int, size: float, seed: int,
     dispatch through a relayed TPU costs tens of seconds at scale).
     ``ndim=3`` generalizes the lattice to ceil(N^(1/3))^2 x sz cells (the
     reference is 2D-only; this is the stretch-config analog).
+
+    ``host``: pin the computation to the CPU backend (None = auto: big n
+    only, see ``_FAST_HOST_N``). Values are identical on either backend.
     """
+    if host is None:
+        host = num_parts > _FAST_HOST_N
+    if host:
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.devices()[0] != cpu:
+            with jax.default_device(cpu):
+                return _init_fast_jit(num_parts, size, seed, dtype, ndim)
+    return _init_fast_jit(num_parts, size, seed, dtype, ndim)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_parts", "size", "seed", "dtype", "ndim")
+)
+def _init_fast_jit(num_parts: int, size: float, seed: int,
+                   dtype=jnp.float32, ndim: int = 2):
     key = jax.random.PRNGKey(seed)
     k_perm, k_vel = jax.random.split(key)
     k = jax.random.permutation(k_perm, num_parts)

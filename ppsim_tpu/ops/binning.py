@@ -125,6 +125,40 @@ def sort_by_bin(bin_id):
     return order, sorted_id, segment_ranks(sorted_id)
 
 
+def claim_ranks(bin_id, num_bins: int, rounds: int, active=None):
+    """Sort-free within-bin ranks, in ORIGINAL index order.
+
+    ``rounds`` iterations of scatter-min index claiming: round ``k`` gives
+    rank ``k`` to the smallest still-unplaced original index in each bin —
+    exactly the stable-sort rank assignment (``sort_by_bin``'s ranks for
+    ranks < rounds), with no n-element sort. Exists because the relay's
+    degraded compile helper intermittently picks a pathological layout for
+    the pack sort's f32[2,n,8] temporary (21.5 GB at n=20.97M — a
+    compile-time OOM the 2D LJ headline gate hit four times, CLAUDE.md);
+    the claim pack's scatters compile in ordinary shapes. O(rounds * n)
+    scatter work vs the sort's O(n log n): a fallback/gate path, not the
+    default.
+
+    ``active``: optional bool mask; inactive particles never claim (used
+    by the spill packer's need-bounded eligible ranking). Particles left
+    unplaced after ``rounds`` get rank == ``rounds`` (callers treat that
+    as overflow/not-selected; pair with a scatter-add occupancy count for
+    the overflow monitor).
+    """
+    n = bin_id.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rank = jnp.full((n,), rounds, jnp.int32)
+    placed = jnp.zeros((n,), bool) if active is None else ~active
+    for k in range(rounds):
+        cand = jnp.where(placed, n, idx)
+        winner = jnp.full((num_bins,), n, jnp.int32).at[bin_id].min(
+            cand, mode="drop")
+        won = winner[bin_id] == idx
+        rank = jnp.where(won, k, rank)
+        placed = placed | won
+    return rank
+
+
 def build_grid(pos_sorted, sorted_bin_id, rank, geom: GridGeometry) -> BinGrid:
     """Scatter bin-sorted particles into the dense grid.
 

@@ -245,35 +245,49 @@ def _home_bins(pos, geom: Geometry3S):
     return bx, by, bz, (by * geom.xs_pad + bx) * geom.zs_pad + bz
 
 
-def slab3_from_particles(pos, vel, geom: Geometry3S):
+def slab3_from_particles(pos, vel, geom: Geometry3S, rank_mode: str = "sort"):
     """Pack an (N, 3) particle list into the 3D slab grid (init path).
 
-    Same sort+rank+scatter as the 2D packer (grid_ops.slab_from_particles).
+    Same sort+rank+scatter as the 2D packer (grid_ops.slab_from_particles);
+    ``rank_mode`` "claim" swaps the argsort for the sort-free scatter-min
+    ranking (binning.claim_ranks): identical (bin, slot) assignment,
+    locals within 1 ulp (see grid_ops.slab_from_particles).
     Returns (Slab3State, overflow_count).
     """
     pos = jnp.asarray(pos, jnp.float32)
     vel = jnp.asarray(vel, jnp.float32)
     _, _, _, bin_id = _home_bins(pos, geom)
-    return _scatter_pack(pos, vel, bin_id, geom)
+    return _scatter_pack(pos, vel, bin_id, geom, rank_mode)
 
 
-def _scatter_pack(pos, vel, bin_id, geom: Geometry3S):
+def _scatter_pack(pos, vel, bin_id, geom: Geometry3S, rank_mode: str = "sort"):
     """Sort+rank+scatter tail shared by the plain and spill packers. The
     slot a particle lands in derives from ``bin_id`` (its RESIDENCE bin),
     so local coordinates are stored relative to that bin's origin — a
     spilled particle's local coordinate sits just outside [0, bs), exactly
     like a rebin-deferred mover's."""
-    from ppsim_tpu.ops.binning import sort_by_bin
+    from ppsim_tpu.ops.binning import claim_ranks, sort_by_bin
 
-    order, sorted_id, rank = sort_by_bin(bin_id)
     plane = geom.ys_pad * geom.xs_pad * geom.zs_pad
     nslots = geom.capacity * plane
-    flat = jnp.where(rank < geom.capacity, rank * plane + sorted_id, nslots)
+    if rank_mode == "claim":
+        rank = claim_ranks(bin_id, plane, geom.capacity)
+        flat = jnp.where(rank < geom.capacity, rank * plane + bin_id, nslots)
+        order = jnp.arange(pos.shape[0], dtype=jnp.int32)
+        home_id = bin_id
+        counts = jnp.zeros((plane,), jnp.int32).at[bin_id].add(
+            1, mode="drop")
+        max_count = counts.max()
+    else:
+        order, sorted_id, rank = sort_by_bin(bin_id)
+        flat = jnp.where(rank < geom.capacity, rank * plane + sorted_id, nslots)
+        home_id = sorted_id
+        max_count = rank.max() + 1
 
     xz = geom.xs_pad * geom.zs_pad
-    yy = (sorted_id // xz).astype(jnp.float32)
-    xx = ((sorted_id % xz) // geom.zs_pad).astype(jnp.float32)
-    zz = (sorted_id % geom.zs_pad).astype(jnp.float32)
+    yy = (home_id // xz).astype(jnp.float32)
+    xx = ((home_id % xz) // geom.zs_pad).astype(jnp.float32)
+    zz = (home_id % geom.zs_pad).astype(jnp.float32)
 
     def scatter(vals, fill, dtype):
         out = jnp.full((nslots,), fill, dtype)
@@ -288,11 +302,17 @@ def _scatter_pack(pos, vel, bin_id, geom: Geometry3S):
         scatter(vel[order, 2], 0.0, jnp.float32),
         scatter(order.astype(jnp.int32), -1, jnp.int32),
     )
-    overflow = jnp.maximum(rank.max() + 1 - geom.capacity, 0).astype(jnp.int32)
+    overflow = jnp.maximum(max_count - geom.capacity, 0).astype(jnp.int32)
     return state, overflow
 
 
-def slab3_from_particles_spill(pos, vel, geom: Geometry3S, depth: float):
+# Claim-mode spill selection: scatter-min rounds per bin (spills/bin are
+# bounded by this; measured stretch-scale need is 1 — BASELINE.md).
+_CLAIM_SPILL = 4
+
+
+def slab3_from_particles_spill(pos, vel, geom: Geometry3S, depth: float,
+                               rank_mode: str = "sort"):
     """Deferral-style init pack: place overfull-bin overflow in an adjacent
     bin instead of raising the slot capacity (r5).
 
@@ -319,7 +339,7 @@ def slab3_from_particles_spill(pos, vel, geom: Geometry3S, depth: float):
 
     Returns (Slab3State, overflow_count, spilled_count).
     """
-    from ppsim_tpu.ops.binning import sort_by_bin
+    from ppsim_tpu.ops.binning import claim_ranks, sort_by_bin
 
     pos = jnp.asarray(pos, jnp.float32)
     vel = jnp.asarray(vel, jnp.float32)
@@ -354,15 +374,25 @@ def slab3_from_particles_spill(pos, vel, geom: Geometry3S, depth: float):
             best_dist = jnp.where(cand, dist, best_dist)
 
     elig = (need > 0) & (best_delta != 0)
-    # Need-bounded selection: rank eligibles first within each home bin
-    # (key parity encodes eligibility; nbins*2 stays far inside int32) and
-    # spill only the first (count - capacity) of them per bin.
-    key = bid * 2 + (1 - elig.astype(jnp.int32))
-    order2, sorted_key, rank2 = sort_by_bin(key)
-    sel = (sorted_key % 2 == 0) & (rank2 < need[order2])
-    spill = jnp.zeros((n,), bool).at[order2].set(sel)
+    # Need-bounded selection: rank eligibles first within each home bin and
+    # spill only the first (count - capacity) of them per bin. Both modes
+    # rank eligibles by original index within the bin, so they select the
+    # same donors.
+    if rank_mode == "claim":
+        # Sort-free: scatter-min claim rounds over eligibles only. Rounds
+        # bound the spills per bin; a bin needing more than _CLAIM_SPILL
+        # spills keeps its residual overflow and the caller falls back to
+        # the capacity raise — loss-free, same as any failed spill.
+        rank_e = claim_ranks(bid, nbins, _CLAIM_SPILL, active=elig)
+        spill = rank_e < jnp.minimum(need, _CLAIM_SPILL)
+    else:
+        # Key parity encodes eligibility; nbins*2 stays far inside int32.
+        key = bid * 2 + (1 - elig.astype(jnp.int32))
+        order2, sorted_key, rank2 = sort_by_bin(key)
+        sel = (sorted_key % 2 == 0) & (rank2 < need[order2])
+        spill = jnp.zeros((n,), bool).at[order2].set(sel)
     new_bid = jnp.where(spill, bid + best_delta, bid)
-    state, overflow = _scatter_pack(pos, vel, new_bid, geom)
+    state, overflow = _scatter_pack(pos, vel, new_bid, geom, rank_mode)
     return state, overflow, spill.sum().astype(jnp.int32)
 
 

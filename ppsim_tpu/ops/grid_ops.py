@@ -194,7 +194,7 @@ class RebinMonitors(NamedTuple):
 
 
 # ----------------------------------------------------------------- packing
-def slab_from_particles(pos, vel, geom: SlabGeometry):
+def slab_from_particles(pos, vel, geom: SlabGeometry, rank_mode: str = "sort"):
     """Device-side packing of a particle list into the slab grid (init path).
 
     The per-run analog of ``init_simulation``'s initial binning
@@ -203,8 +203,15 @@ def slab_from_particles(pos, vel, geom: SlabGeometry):
     means the initial occupancy exceeded ``capacity``; engines seed it into
     the carry's monitors (engines/grid.seed_pack_monitors) so the post-run
     check raises without an eager device->host sync in the timed region.
+
+    ``rank_mode``: "sort" (default — argsort by bin) or "claim"
+    (binning.claim_ranks — sort-free scatter-min rounds; identical (bin,
+    slot) assignment, with bin-local coordinates up to 1 ulp off where
+    XLA fuses the `pos - bin*bs` subtract differently. The fallback when
+    the relay's degraded compile helper OOMs on the sort temporary's
+    pathological layout).
     """
-    from ppsim_tpu.ops.binning import sort_by_bin
+    from ppsim_tpu.ops.binning import claim_ranks, sort_by_bin
 
     pos = jnp.asarray(pos, jnp.float32)
     vel = jnp.asarray(vel, jnp.float32)
@@ -215,13 +222,25 @@ def slab_from_particles(pos, vel, geom: SlabGeometry):
     c = jnp.clip((pos[:, 1] * inv).astype(jnp.int32), 0, geom.cols - 1)
     bin_id = r * geom.cols_pad + c
 
-    order, sorted_id, rank = sort_by_bin(bin_id)
     plane = geom.rows_pad * geom.cols_pad
     nslots = geom.capacity * plane
-    flat = jnp.where(rank < geom.capacity, rank * plane + sorted_id, nslots)
+    if rank_mode == "claim":
+        # Ranks arrive in ORIGINAL index order; scatter source-indexed.
+        rank = claim_ranks(bin_id, plane, geom.capacity)
+        flat = jnp.where(rank < geom.capacity, rank * plane + bin_id, nslots)
+        order = jnp.arange(n, dtype=jnp.int32)
+        home_id = bin_id
+        counts = jnp.zeros((plane,), jnp.int32).at[bin_id].add(
+            1, mode="drop")
+        max_count = counts.max()
+    else:
+        order, sorted_id, rank = sort_by_bin(bin_id)
+        flat = jnp.where(rank < geom.capacity, rank * plane + sorted_id, nslots)
+        home_id = sorted_id
+        max_count = rank.max() + 1
 
-    rr = (sorted_id // geom.cols_pad).astype(jnp.float32)
-    cc = (sorted_id % geom.cols_pad).astype(jnp.float32)
+    rr = (home_id // geom.cols_pad).astype(jnp.float32)
+    cc = (home_id % geom.cols_pad).astype(jnp.float32)
     xl_v = pos[order, 0] - rr * bs
     yl_v = pos[order, 1] - cc * bs
 
@@ -236,7 +255,7 @@ def slab_from_particles(pos, vel, geom: SlabGeometry):
         scatter(vel[order, 1], 0.0, jnp.float32),
         scatter(order.astype(jnp.int32), -1, jnp.int32),
     )
-    overflow = jnp.maximum(rank.max() + 1 - geom.capacity, 0).astype(jnp.int32)
+    overflow = jnp.maximum(max_count - geom.capacity, 0).astype(jnp.int32)
     return state, overflow
 
 

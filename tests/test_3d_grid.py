@@ -798,3 +798,64 @@ def test_spill_pack_handles_multi_overflow_and_collisions():
         st_c.pos, st_c.vel, eng.geom, depth)
     assert int(ovf_c) == 1
     assert int(spilled_c) == 2  # both were reassigned; the pack caught it
+
+
+def test_claim_pack3_matches_sort_including_spill():
+    """rank_mode="claim" (sort-free scatter-min packing — the fallback for
+    the relay's degraded-compile-helper window on the pack sort) must
+    produce the same slots/overflow/spill selection; float planes may sit
+    1 ulp off under XLA fusion (see the 2D twin)."""
+
+    def slab_equiv(s_a, s_b):
+        np.testing.assert_array_equal(np.asarray(s_a.pid), np.asarray(s_b.pid))
+        for a, b in zip(jax.tree.leaves(s_a), jax.tree.leaves(s_b)):
+            if np.asarray(a).dtype == np.int32:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=0, atol=6e-8)
+    import jax
+
+    from ppsim_tpu.engines.grid3d import Grid3DEngine
+    from ppsim_tpu.ops.grid3d_ops import (
+        slab3_from_particles,
+        slab3_from_particles_spill,
+    )
+
+    cfg = _spill_cfg()
+    st = _spill_state()
+    eng = Grid3DEngine(cfg)
+
+    s_sort, ov_sort = slab3_from_particles(st.pos, st.vel, eng.geom, "sort")
+    s_claim, ov_claim = slab3_from_particles(st.pos, st.vel, eng.geom, "claim")
+    assert int(ov_sort) == int(ov_claim) == 1
+    slab_equiv(s_sort, s_claim)
+
+    depth = eng._spill_depth()
+    p_sort = slab3_from_particles_spill(st.pos, st.vel, eng.geom, depth,
+                                        "sort")
+    p_claim = slab3_from_particles_spill(st.pos, st.vel, eng.geom, depth,
+                                         "claim")
+    assert int(p_sort[1]) == int(p_claim[1]) == 0
+    assert int(p_sort[2]) == int(p_claim[2]) == 1
+    slab_equiv(p_sort[0], p_claim[0])
+
+
+def test_claim_pack3_engine_flag_plumbs_through():
+    """grid_pack_mode="claim" runs the whole engine path (init spill
+    included) to the same state as the default sort pack."""
+    import dataclasses
+
+    from ppsim_tpu.engines.grid3d import Grid3DEngine
+
+    st = _spill_state()
+    base = Grid3DEngine(_spill_cfg())
+    claim = Grid3DEngine(
+        dataclasses.replace(_spill_cfg(), grid_pack_mode="claim"))
+    r0 = base.run(st, nsteps=3)
+    r1 = claim.run(st, nsteps=3)
+    assert claim.capacity == 2                 # spilled, not raised
+    np.testing.assert_allclose(
+        np.asarray(r0.state.pos), np.asarray(r1.state.pos), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(r0.state.vel), np.asarray(r1.state.vel), atol=1e-5)

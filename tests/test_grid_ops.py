@@ -314,3 +314,76 @@ def test_axes_rebin_defers_instead_of_dropping(grid_test_config, geom):
     old_pids = np.sort(np.asarray(state.pid)[np.asarray(state.pid) >= 0])
     new_pids = np.sort(np.asarray(new.pid)[np.asarray(new.pid) >= 0])
     np.testing.assert_array_equal(old_pids, new_pids)
+
+
+# ------------------------------------------------------------- claim pack
+# Sort-free packing (binning.claim_ranks): the fallback for the relay's
+# degraded-compile-helper window, which OOMs at COMPILE time on the pack
+# sort's pathological f32[2,n,8] layout at n=20.97M (CLAUDE.md). The claim
+# pack assigns the IDENTICAL (bin, slot) to every particle; the bin-local
+# coordinates can sit 1 ulp off (XLA fuses the `pos - bin*bs` subtract
+# differently in the two graphs), which is far inside every engine-twin
+# tolerance in this suite.
+
+
+def _assert_slab_equiv(s_a, s_b):
+    """Same slots and ids exactly; float planes to 1 ulp."""
+    np.testing.assert_array_equal(np.asarray(s_a.pid), np.asarray(s_b.pid))
+    for a, b in zip(jax.tree.leaves(s_a), jax.tree.leaves(s_b)):
+        if np.asarray(a).dtype == np.int32:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        else:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=6e-8)
+
+def test_claim_pack_matches_sort_pack(grid_test_config, geom):
+    cfg = grid_test_config
+    state = init_particles(cfg, seed=7, method="fast")
+    s_sort, ov_sort = jax.jit(
+        lambda p, v: grid_ops.slab_from_particles(p, v, geom, "sort")
+    )(state.pos, state.vel)
+    s_claim, ov_claim = jax.jit(
+        lambda p, v: grid_ops.slab_from_particles(p, v, geom, "claim")
+    )(state.pos, state.vel)
+    _assert_slab_equiv(s_sort, s_claim)
+    assert int(ov_sort) == int(ov_claim) == 0
+
+
+def test_claim_pack_overflow_parity():
+    """An over-capacity bin drops the SAME particles (stable-rank order:
+    lowest original indices survive) and reports the same overflow."""
+    cfg = SimConfig(num_parts=6, grid_capacity=2, grid_bin_scale=3.0)
+    geom = SlabGeometry.for_config(cfg)
+    bs = geom.bin_size
+    pos = jnp.asarray(np.array([
+        [0.1 * bs, 0.1 * bs],   # all four in bin (0, 0): 2 past capacity
+        [0.2 * bs, 0.2 * bs],
+        [0.3 * bs, 0.3 * bs],
+        [0.4 * bs, 0.4 * bs],
+        [1.5 * bs, 0.5 * bs],
+        [0.5 * bs, 1.5 * bs],
+    ], np.float32))
+    vel = jnp.asarray(np.arange(12, dtype=np.float32).reshape(6, 2))
+    s_sort, ov_sort = grid_ops.slab_from_particles(pos, vel, geom, "sort")
+    s_claim, ov_claim = grid_ops.slab_from_particles(pos, vel, geom, "claim")
+    assert int(ov_sort) == int(ov_claim) == 2
+    _assert_slab_equiv(s_sort, s_claim)
+    kept = np.asarray(s_sort.pid)[np.asarray(s_sort.pid) >= 0]
+    assert set(kept) == {0, 1, 4, 5}
+
+
+def test_engine_grid_pack_mode_claim_matches_default(grid_test_config):
+    import dataclasses
+
+    from ppsim_tpu.engines import get_engine
+
+    state = init_particles(grid_test_config, seed=3, method="fast")
+    base = get_engine("grid", grid_test_config)
+    claim = get_engine(
+        "grid", dataclasses.replace(grid_test_config, grid_pack_mode="claim"))
+    r0 = base.run(state, nsteps=5)
+    r1 = claim.run(state, nsteps=5)
+    np.testing.assert_allclose(
+        np.asarray(r0.state.pos), np.asarray(r1.state.pos), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(r0.state.vel), np.asarray(r1.state.vel), atol=1e-5)
