@@ -37,6 +37,9 @@ def main(argv=None) -> int:
     ap.add_argument("--force-law", default="repulsive")
     ap.add_argument("--chunk-steps", type=int, default=None)
     ap.add_argument("--rebin3-every", type=int, default=None)
+    ap.add_argument("--pack-mode", default=None, choices=("sort", "claim"),
+                    help="grid_pack_mode (claim = the compile-safe pack for "
+                         "the degraded-helper window; recorded in the rows)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -45,9 +48,12 @@ def main(argv=None) -> int:
     from ppsim_tpu.harness import timed_run_repeats
     from ppsim_tpu.initlib import init_particles
 
-    base = SimConfig(num_parts=args.n, ndim=3, density=args.density,
-                     force_law=args.force_law,
-                     rebin3_every=args.rebin3_every)
+    base_kw = dict(num_parts=args.n, ndim=3, density=args.density,
+                   force_law=args.force_law,
+                   rebin3_every=args.rebin3_every)
+    if args.pack_mode:
+        base_kw["grid_pack_mode"] = args.pack_mode
+    base = SimConfig(**base_kw)
     state = init_particles(base, seed=42, method="fast")
 
     records = []
@@ -82,6 +88,7 @@ def main(argv=None) -> int:
             "deferred": int(result.monitors.deferred),
             "max_speed": float(result.monitors.max_speed),
             "monitors_ok": monitors_ok,
+            "grid_pack_mode": base.grid_pack_mode,
             "chunk_steps": args.chunk_steps,
             "ts": time.time(),
         }

@@ -152,6 +152,10 @@ def main(argv=None) -> int:
                          "lane-padding tax)")
     ap.add_argument("--grid-bin-scale", type=float, default=None)
     ap.add_argument("--grid-capacity", type=int, default=None)
+    ap.add_argument("--grid-pack-mode", default=None,
+                    choices=("sort", "claim"),
+                    help="slab pack rank mode (claim = compile-safe; "
+                         "recorded in the row)")
     ap.add_argument("--rebin-every", type=int, default=None)
     ap.add_argument("--grid-rebin-mode", default=None,
                     choices=("dirs9", "axes"),
@@ -199,6 +203,7 @@ def main(argv=None) -> int:
             ("grid3_bin_scale", args.grid3_bin_scale),
             ("grid3_capacity", args.grid3_capacity),
             ("rebin3_every", args.rebin3_every),
+            ("grid_pack_mode", args.grid_pack_mode),
         )
         if v is not None
     }

@@ -379,13 +379,15 @@ class GridEngine(Engine):
 
     def frame_of(self, carry: GridCarry):
         pos, _ = grid_ops.slab_to_particles(
-            carry.slab, self.geom, self.config.num_parts
+            carry.slab, self.geom, self.config.num_parts,
+            chunked=self.config.grid_pack_mode == "claim",
         )
         return pos
 
     def final_state(self, carry: GridCarry) -> ParticleState:
         pos, vel = grid_ops.slab_to_particles(
-            carry.slab, self.geom, self.config.num_parts
+            carry.slab, self.geom, self.config.num_parts,
+            chunked=self.config.grid_pack_mode == "claim",
         )
         return ParticleState(pos, vel)
 

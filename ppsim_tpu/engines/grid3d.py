@@ -334,8 +334,11 @@ class Grid3DEngine(GridEngine):
         if gkey not in self._programs:
             from_geom = self.geom
 
+            chk = self.config.grid_pack_mode == "claim"
+
             def gather(c):
-                pos, vel = grid3d_ops.slab3_to_particles(c.slab, from_geom, n)
+                pos, vel = grid3d_ops.slab3_to_particles(
+                    c.slab, from_geom, n, chunked=chk)
                 return pos, vel, c.step, c.monitors
 
             self._programs[gkey] = jax.jit(gather)
@@ -418,13 +421,15 @@ class Grid3DEngine(GridEngine):
 
     def frame_of(self, carry: GridCarry):
         pos, _ = grid3d_ops.slab3_to_particles(
-            carry.slab, self.geom, self.config.num_parts
+            carry.slab, self.geom, self.config.num_parts,
+            chunked=self.config.grid_pack_mode == "claim",
         )
         return pos
 
     def final_state(self, carry: GridCarry) -> ParticleState:
         pos, vel = grid3d_ops.slab3_to_particles(
-            carry.slab, self.geom, self.config.num_parts
+            carry.slab, self.geom, self.config.num_parts,
+            chunked=self.config.grid_pack_mode == "claim",
         )
         return ParticleState(pos, vel)
 

@@ -125,19 +125,42 @@ def sort_by_bin(bin_id):
     return order, sorted_id, segment_ranks(sorted_id)
 
 
+# Max updates per scatter op in the compile-safe paths. XLA lowers a large
+# 1-D scatter to a SORTED-SCATTER: it materializes a [2, n_updates, 8]
+# sort temporary for the (index, update) pair, and the relay's degraded
+# compile helper tiles that temp T(8,128) — 16x padding on the trailing 8,
+# 21.5 GB at n=20.97M, a compile-time OOM (observed identically on the
+# sort-pack's argsort and on the claim-pack's scatters: it is the temp's
+# layout, not the op, that kills the compile). Chunking the updates bounds
+# the temp at ~[2, 2^20, 8] -> ~1 GB padded even under the pathological
+# layout, so compile-safe programs survive the degraded window. set/min/
+# add scatters compose exactly across chunks (unique slots for set;
+# min/add are order-insensitive).
+SCATTER_CHUNK = 1 << 20
+
+
+def chunked_scatter(out, idx, vals, op: str = "set", chunk: int = None):
+    """``out.at[idx].set/min/add(vals, mode="drop")`` as K bounded scatters
+    (see SCATTER_CHUNK). Bit-identical to the single scatter."""
+    chunk = SCATTER_CHUNK if chunk is None else chunk
+    n = idx.shape[0]
+    for i in range(0, n, chunk):
+        upd = getattr(out.at[idx[i:i + chunk]], op)
+        out = upd(vals[i:i + chunk], mode="drop")
+    return out
+
+
 def claim_ranks(bin_id, num_bins: int, rounds: int, active=None):
     """Sort-free within-bin ranks, in ORIGINAL index order.
 
     ``rounds`` iterations of scatter-min index claiming: round ``k`` gives
     rank ``k`` to the smallest still-unplaced original index in each bin —
     exactly the stable-sort rank assignment (``sort_by_bin``'s ranks for
-    ranks < rounds), with no n-element sort. Exists because the relay's
-    degraded compile helper intermittently picks a pathological layout for
-    the pack sort's f32[2,n,8] temporary (21.5 GB at n=20.97M — a
-    compile-time OOM the 2D LJ headline gate hit four times, CLAUDE.md);
-    the claim pack's scatters compile in ordinary shapes. O(rounds * n)
-    scatter work vs the sort's O(n log n): a fallback/gate path, not the
-    default.
+    ranks < rounds), with no n-element sort and every scatter chunked
+    (see SCATTER_CHUNK: the compile-safe answer to the relay helper's
+    pathological sort-temp layout, which OOMs the 2D LJ headline gate's
+    pack at n=20.97M — CLAUDE.md). O(rounds * n) scatter work vs the
+    sort's O(n log n): a fallback/gate path, not the default.
 
     ``active``: optional bool mask; inactive particles never claim (used
     by the spill packer's need-bounded eligible ranking). Particles left
@@ -151,8 +174,8 @@ def claim_ranks(bin_id, num_bins: int, rounds: int, active=None):
     placed = jnp.zeros((n,), bool) if active is None else ~active
     for k in range(rounds):
         cand = jnp.where(placed, n, idx)
-        winner = jnp.full((num_bins,), n, jnp.int32).at[bin_id].min(
-            cand, mode="drop")
+        winner = chunked_scatter(
+            jnp.full((num_bins,), n, jnp.int32), bin_id, cand, "min")
         won = winner[bin_id] == idx
         rank = jnp.where(won, k, rank)
         placed = placed | won

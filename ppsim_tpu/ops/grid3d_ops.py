@@ -266,17 +266,20 @@ def _scatter_pack(pos, vel, bin_id, geom: Geometry3S, rank_mode: str = "sort"):
     so local coordinates are stored relative to that bin's origin — a
     spilled particle's local coordinate sits just outside [0, bs), exactly
     like a rebin-deferred mover's."""
-    from ppsim_tpu.ops.binning import claim_ranks, sort_by_bin
+    from ppsim_tpu.ops.binning import chunked_scatter, claim_ranks, sort_by_bin
 
     plane = geom.ys_pad * geom.xs_pad * geom.zs_pad
     nslots = geom.capacity * plane
     if rank_mode == "claim":
+        # Chunked scatters throughout: claim mode is the COMPILE-SAFE pack
+        # (see grid_ops.slab_from_particles and binning.SCATTER_CHUNK).
         rank = claim_ranks(bin_id, plane, geom.capacity)
         flat = jnp.where(rank < geom.capacity, rank * plane + bin_id, nslots)
         order = jnp.arange(pos.shape[0], dtype=jnp.int32)
         home_id = bin_id
-        counts = jnp.zeros((plane,), jnp.int32).at[bin_id].add(
-            1, mode="drop")
+        counts = chunked_scatter(
+            jnp.zeros((plane,), jnp.int32), bin_id,
+            jnp.ones((bin_id.shape[0],), jnp.int32), "add")
         max_count = counts.max()
     else:
         order, sorted_id, rank = sort_by_bin(bin_id)
@@ -291,7 +294,11 @@ def _scatter_pack(pos, vel, bin_id, geom: Geometry3S, rank_mode: str = "sort"):
 
     def scatter(vals, fill, dtype):
         out = jnp.full((nslots,), fill, dtype)
-        return out.at[flat].set(vals.astype(dtype), mode="drop").reshape(geom.shape)
+        if rank_mode == "claim":
+            out = chunked_scatter(out, flat, vals.astype(dtype))
+        else:
+            out = out.at[flat].set(vals.astype(dtype), mode="drop")
+        return out.reshape(geom.shape)
 
     state = Slab3State(
         scatter(pos[order, 0] - xx * jnp.float32(geom.bsx), BIG, jnp.float32),
@@ -339,7 +346,9 @@ def slab3_from_particles_spill(pos, vel, geom: Geometry3S, depth: float,
 
     Returns (Slab3State, overflow_count, spilled_count).
     """
-    from ppsim_tpu.ops.binning import claim_ranks, sort_by_bin
+    from ppsim_tpu.ops.binning import (
+        chunked_scatter, claim_ranks, sort_by_bin,
+    )
 
     pos = jnp.asarray(pos, jnp.float32)
     vel = jnp.asarray(vel, jnp.float32)
@@ -347,7 +356,10 @@ def slab3_from_particles_spill(pos, vel, geom: Geometry3S, depth: float,
     cap = geom.capacity
     n = pos.shape[0]
     nbins = geom.ys_pad * geom.xs_pad * geom.zs_pad
-    counts = jnp.zeros((nbins,), jnp.int32).at[bid].add(1)
+    ones = jnp.ones((n,), jnp.int32)
+    counts = (chunked_scatter(jnp.zeros((nbins,), jnp.int32), bid, ones, "add")
+              if rank_mode == "claim"
+              else jnp.zeros((nbins,), jnp.int32).at[bid].add(1))
     need = counts[bid] - cap  # >0 exactly for particles in overfull bins
     depth_f = jnp.float32(depth)
 
@@ -410,8 +422,12 @@ def _offsets(geom: Geometry3S, shape, y0=0):
     )
 
 
-def slab3_to_particles(state: Slab3State, geom: Geometry3S, num_parts: int):
-    """Scatter slab state back to id-ordered (N, 3) pos/vel arrays."""
+def slab3_to_particles(state: Slab3State, geom: Geometry3S, num_parts: int,
+                       chunked: bool = False):
+    """Scatter slab state back to id-ordered (N, 3) pos/vel arrays.
+
+    ``chunked``: bound each scatter's update count (compile-safe frame/
+    final programs; see grid_ops.slab_to_particles). Bit-identical."""
     xo, yo, zo = _offsets(geom, state.xl.shape)
     alive = state.pid >= 0
     gx = jnp.where(alive, state.xl + xo, BIG)
@@ -419,12 +435,22 @@ def slab3_to_particles(state: Slab3State, geom: Geometry3S, num_parts: int):
     gz = jnp.where(alive, state.zl + zo, BIG)
     flat_pid = state.pid.reshape(-1)
     idx = jnp.where(flat_pid >= 0, flat_pid, num_parts)
+
+    def put(tgt, col, vals):
+        if not chunked:
+            return tgt.at[idx, col].set(vals, mode="drop")
+        from ppsim_tpu.ops.binning import SCATTER_CHUNK
+        for i in range(0, idx.shape[0], SCATTER_CHUNK):
+            tgt = tgt.at[idx[i:i + SCATTER_CHUNK], col].set(
+                vals[i:i + SCATTER_CHUNK], mode="drop")
+        return tgt
+
     pos = jnp.zeros((num_parts, 3), jnp.float32)
     vel = jnp.zeros((num_parts, 3), jnp.float32)
     for k, g in enumerate((gx, gy, gz)):
-        pos = pos.at[idx, k].set(g.reshape(-1), mode="drop")
+        pos = put(pos, k, g.reshape(-1))
     for k, v in enumerate((state.vx, state.vy, state.vz)):
-        vel = vel.at[idx, k].set(v.reshape(-1), mode="drop")
+        vel = put(vel, k, v.reshape(-1))
     return pos, vel
 
 

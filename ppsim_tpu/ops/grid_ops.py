@@ -211,7 +211,7 @@ def slab_from_particles(pos, vel, geom: SlabGeometry, rank_mode: str = "sort"):
     the relay's degraded compile helper OOMs on the sort temporary's
     pathological layout).
     """
-    from ppsim_tpu.ops.binning import claim_ranks, sort_by_bin
+    from ppsim_tpu.ops.binning import chunked_scatter, claim_ranks, sort_by_bin
 
     pos = jnp.asarray(pos, jnp.float32)
     vel = jnp.asarray(vel, jnp.float32)
@@ -226,12 +226,17 @@ def slab_from_particles(pos, vel, geom: SlabGeometry, rank_mode: str = "sort"):
     nslots = geom.capacity * plane
     if rank_mode == "claim":
         # Ranks arrive in ORIGINAL index order; scatter source-indexed.
+        # Every n-sized scatter here is chunked (binning.SCATTER_CHUNK):
+        # claim mode doubles as the COMPILE-SAFE pack for the degraded
+        # helper window (the same pathological layout that OOMs the pack
+        # sort also OOMs a large scatter's sorted-scatter temp).
         rank = claim_ranks(bin_id, plane, geom.capacity)
         flat = jnp.where(rank < geom.capacity, rank * plane + bin_id, nslots)
         order = jnp.arange(n, dtype=jnp.int32)
         home_id = bin_id
-        counts = jnp.zeros((plane,), jnp.int32).at[bin_id].add(
-            1, mode="drop")
+        counts = chunked_scatter(
+            jnp.zeros((plane,), jnp.int32), bin_id,
+            jnp.ones((n,), jnp.int32), "add")
         max_count = counts.max()
     else:
         order, sorted_id, rank = sort_by_bin(bin_id)
@@ -246,7 +251,11 @@ def slab_from_particles(pos, vel, geom: SlabGeometry, rank_mode: str = "sort"):
 
     def scatter(vals, fill, dtype):
         out = jnp.full((nslots,), fill, dtype)
-        return out.at[flat].set(vals.astype(dtype), mode="drop").reshape(geom.shape)
+        if rank_mode == "claim":
+            out = chunked_scatter(out, flat, vals.astype(dtype))
+        else:
+            out = out.at[flat].set(vals.astype(dtype), mode="drop")
+        return out.reshape(geom.shape)
 
     state = SlabState(
         scatter(xl_v, BIG, jnp.float32),
@@ -270,17 +279,32 @@ def global_positions(state: SlabState, geom: SlabGeometry):
     return gx, gy
 
 
-def slab_to_particles(state: SlabState, geom: SlabGeometry, num_parts: int):
-    """Scatter slab state back to id-ordered (N, 2) pos/vel arrays."""
+def slab_to_particles(state: SlabState, geom: SlabGeometry, num_parts: int,
+                      chunked: bool = False):
+    """Scatter slab state back to id-ordered (N, 2) pos/vel arrays.
+
+    ``chunked``: bound each scatter's update count (compile-safe frame/
+    final programs for the degraded-helper window; engines pass
+    grid_pack_mode == "claim"). Bit-identical output either way."""
     gx, gy = global_positions(state, geom)
     flat_pid = state.pid.reshape(-1)
     idx = jnp.where(flat_pid >= 0, flat_pid, num_parts)
+
+    def put(tgt, col, vals):
+        if not chunked:
+            return tgt.at[idx, col].set(vals, mode="drop")
+        from ppsim_tpu.ops.binning import SCATTER_CHUNK
+        for i in range(0, idx.shape[0], SCATTER_CHUNK):
+            tgt = tgt.at[idx[i:i + SCATTER_CHUNK], col].set(
+                vals[i:i + SCATTER_CHUNK], mode="drop")
+        return tgt
+
     pos = jnp.zeros((num_parts, 2), jnp.float32)
-    pos = pos.at[idx, 0].set(gx.reshape(-1), mode="drop")
-    pos = pos.at[idx, 1].set(gy.reshape(-1), mode="drop")
+    pos = put(pos, 0, gx.reshape(-1))
+    pos = put(pos, 1, gy.reshape(-1))
     vel = jnp.zeros((num_parts, 2), jnp.float32)
-    vel = vel.at[idx, 0].set(state.vx.reshape(-1), mode="drop")
-    vel = vel.at[idx, 1].set(state.vy.reshape(-1), mode="drop")
+    vel = put(vel, 0, state.vx.reshape(-1))
+    vel = put(vel, 1, state.vy.reshape(-1))
     return pos, vel
 
 

@@ -387,3 +387,45 @@ def test_engine_grid_pack_mode_claim_matches_default(grid_test_config):
         np.asarray(r0.state.pos), np.asarray(r1.state.pos), atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(r0.state.vel), np.asarray(r1.state.vel), atol=1e-5)
+
+
+def test_chunked_scatter_matches_single_scatter():
+    """set/min/add over chunk boundaries must equal the one-shot scatter
+    (the compile-safe pack bounds every scatter's sorted-scatter temp —
+    binning.SCATTER_CHUNK; chunk=3 here forces many chunks)."""
+    from ppsim_tpu.ops.binning import chunked_scatter
+
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, 7, size=(17,)), jnp.int32)
+    vals = jnp.asarray(rng.normal(size=(17,)).astype(np.float32))
+    base = jnp.full((7,), 100.0, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(chunked_scatter(base, idx, vals, "min", chunk=3)),
+        np.asarray(base.at[idx].min(vals, mode="drop")))
+    np.testing.assert_array_equal(
+        np.asarray(chunked_scatter(jnp.zeros((7,), jnp.float32), idx, vals,
+                                   "add", chunk=3)),
+        np.asarray(jnp.zeros((7,), jnp.float32).at[idx].add(vals,
+                                                           mode="drop")))
+    # set with UNIQUE indices (the pack's case): order can't matter.
+    uidx = jnp.asarray(rng.permutation(17)[:17], jnp.int32)
+    tgt = jnp.full((17,), -1.0, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(chunked_scatter(tgt, uidx, vals, "set", chunk=5)),
+        np.asarray(tgt.at[uidx].set(vals, mode="drop")))
+
+
+def test_slab_to_particles_chunked_bit_identical(grid_test_config, geom):
+    cfg = grid_test_config
+    _, slab = pack(cfg, geom)
+    import ppsim_tpu.ops.binning as binning
+    p0, v0 = grid_ops.slab_to_particles(slab, geom, cfg.num_parts)
+    old = binning.SCATTER_CHUNK
+    binning.SCATTER_CHUNK = 257  # force many ragged chunks
+    try:
+        p1, v1 = grid_ops.slab_to_particles(slab, geom, cfg.num_parts,
+                                            chunked=True)
+    finally:
+        binning.SCATTER_CHUNK = old
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
