@@ -232,11 +232,32 @@ def _measure(args) -> int:
     config = SimConfig(num_parts=args.n, **kw)
     state = init_particles(config, seed=42, method="fast")
     fallback = False
+    pack_fallback = False
     while True:
         engine = get_engine(args.engine, config)
-        result, times = timed_run_repeats(engine, state, args.steps, 0,
-                                          repeats=args.repeats,
-                                          chunk_steps=args.chunk_steps)
+        try:
+            result, times = timed_run_repeats(engine, state, args.steps, 0,
+                                              repeats=args.repeats,
+                                              chunk_steps=args.chunk_steps)
+        except Exception as e:  # noqa: BLE001 — classify, fall back marked only
+            # A degraded-helper window that outlasts the warm retry rejects
+            # every 20M sorted-scatter temp (observed >70 min, r5b); the
+            # claim pack is the compile-safe program, not another roll of
+            # the same one. The fresh-process retry in main() stays the
+            # backstop for the OTHER transient classes.
+            import dataclasses as _dc
+
+            from ppsim_tpu.harness import _COMPILE_TRANSIENT_MARKERS
+
+            msg = f"{type(e).__name__}: {e}"
+            if (not pack_fallback and config.grid_pack_mode == "sort"
+                    and any(m in msg for m in _COMPILE_TRANSIENT_MARKERS)):
+                print("bench.py: warm retries exhausted; falling back to "
+                      "the compile-safe claim pack", file=sys.stderr)
+                pack_fallback = True
+                config = _dc.replace(config, grid_pack_mode="claim")
+                continue
+            raise
         try:
             engine.check(result)  # raises if any safety monitor tripped
             break
@@ -250,6 +271,10 @@ def _measure(args) -> int:
                                **{k: v for k, v in kw.items()
                                   if k not in ("rebin_every",
                                                "rebin3_every")})
+            if pack_fallback:
+                import dataclasses as _dc
+
+                config = _dc.replace(config, grid_pack_mode="claim")
 
     best = min(times)
     psteps = args.n * args.steps / best
@@ -271,7 +296,8 @@ def _measure(args) -> int:
                 "config": {"rebin_every": (config.rebin_every if args.ndim == 2
                                            else config.rebin3_every),
                            "grid_snap_lanes": config.grid_snap_lanes,
-                           "cadence_fallback": fallback},
+                           "cadence_fallback": fallback,
+                           "grid_pack_mode": config.grid_pack_mode},
             }
         )
     )

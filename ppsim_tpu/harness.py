@@ -622,13 +622,37 @@ def main(argv=None) -> int:
 
     engine = get_engine(args.engine, config)
 
-    if args.trace:
-        with jax.profiler.trace(args.trace):
-            result, seconds = timed_run(engine, state, nsteps, effective_savefreq,
-                                        chunk_steps=args.chunk_steps)
-    else:
-        result, seconds = timed_run(engine, state, nsteps, effective_savefreq,
-                                    chunk_steps=args.chunk_steps)
+    def _run(eng):
+        if args.trace:
+            with jax.profiler.trace(args.trace):
+                return timed_run(eng, state, nsteps, effective_savefreq,
+                                 chunk_steps=args.chunk_steps)
+        return timed_run(eng, state, nsteps, effective_savefreq,
+                         chunk_steps=args.chunk_steps)
+
+    try:
+        result, seconds = _run(engine)
+    except Exception as e:  # noqa: BLE001 — classify, fall back marked only
+        # The warm-phase retry (8x30s) handles helper blips; a window that
+        # outlasts it (observed: >70 min rejecting every 20M sorted-scatter
+        # temp) needs a DIFFERENT program, not another roll. The claim pack
+        # is that program (chunked scatters/gathers, no n-sort); fall back
+        # automatically unless the user pinned a mode.
+        import dataclasses as _dc
+
+        msg = f"{type(e).__name__}: {e}"
+        if (getattr(args, "grid_pack_mode", None) is None
+                and config.grid_pack_mode == "sort"
+                and any(m in msg for m in _COMPILE_TRANSIENT_MARKERS)):
+            print(
+                "harness: remote-compile failures exhausted the warm retry; "
+                "falling back to the compile-safe claim pack "
+                "(--grid-pack-mode claim)", file=sys.stderr)
+            config = _dc.replace(config, grid_pack_mode="claim")
+            engine = get_engine(args.engine, config)
+            result, seconds = _run(engine)
+        else:
+            raise
 
     engine.check(result)
 
@@ -672,6 +696,7 @@ def main(argv=None) -> int:
             "timing_contract": "includes engine init + steps; excludes jit compile and particle init",
             "max_bin_count": int(result.monitors.max_bin_count),
             "migrate_dropped": int(result.monitors.migrate_dropped),
+            "grid_pack_mode": config.grid_pack_mode,
             "platform": jax.devices()[0].platform,
             "num_devices": len(jax.devices()),
             **check_rec,

@@ -150,6 +150,19 @@ def chunked_scatter(out, idx, vals, op: str = "set", chunk: int = None):
     return out
 
 
+def chunked_gather(table, idx, chunk: int = None):
+    """``table[idx]`` as K bounded gathers (the TPU backend expands large
+    irregular gathers through the same sorted machinery as scatters, with
+    the same pathological-layout exposure — see SCATTER_CHUNK).
+    Bit-identical to the single gather."""
+    chunk = SCATTER_CHUNK if chunk is None else chunk
+    n = idx.shape[0]
+    if n <= chunk:
+        return table[idx]
+    return jnp.concatenate(
+        [table[idx[i:i + chunk]] for i in range(0, n, chunk)])
+
+
 def claim_ranks(bin_id, num_bins: int, rounds: int, active=None):
     """Sort-free within-bin ranks, in ORIGINAL index order.
 
@@ -176,7 +189,7 @@ def claim_ranks(bin_id, num_bins: int, rounds: int, active=None):
         cand = jnp.where(placed, n, idx)
         winner = chunked_scatter(
             jnp.full((num_bins,), n, jnp.int32), bin_id, cand, "min")
-        won = winner[bin_id] == idx
+        won = chunked_gather(winner, bin_id) == idx
         rank = jnp.where(won, k, rank)
         placed = placed | won
     return rank

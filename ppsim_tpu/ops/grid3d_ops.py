@@ -291,6 +291,14 @@ def _scatter_pack(pos, vel, bin_id, geom: Geometry3S, rank_mode: str = "sort"):
     yy = (home_id // xz).astype(jnp.float32)
     xx = ((home_id % xz) // geom.zs_pad).astype(jnp.float32)
     zz = (home_id % geom.zs_pad).astype(jnp.float32)
+    if rank_mode == "claim":
+        # order is the identity: index directly (large arange gathers hit
+        # the same backend expansion as scatters — see binning.SCATTER_CHUNK).
+        px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+        vx_v, vy_v, vz_v = vel[:, 0], vel[:, 1], vel[:, 2]
+    else:
+        px, py, pz = pos[order, 0], pos[order, 1], pos[order, 2]
+        vx_v, vy_v, vz_v = vel[order, 0], vel[order, 1], vel[order, 2]
 
     def scatter(vals, fill, dtype):
         out = jnp.full((nslots,), fill, dtype)
@@ -301,12 +309,12 @@ def _scatter_pack(pos, vel, bin_id, geom: Geometry3S, rank_mode: str = "sort"):
         return out.reshape(geom.shape)
 
     state = Slab3State(
-        scatter(pos[order, 0] - xx * jnp.float32(geom.bsx), BIG, jnp.float32),
-        scatter(pos[order, 1] - yy * jnp.float32(geom.bsy), BIG, jnp.float32),
-        scatter(pos[order, 2] - zz * jnp.float32(geom.bsz), BIG, jnp.float32),
-        scatter(vel[order, 0], 0.0, jnp.float32),
-        scatter(vel[order, 1], 0.0, jnp.float32),
-        scatter(vel[order, 2], 0.0, jnp.float32),
+        scatter(px - xx * jnp.float32(geom.bsx), BIG, jnp.float32),
+        scatter(py - yy * jnp.float32(geom.bsy), BIG, jnp.float32),
+        scatter(pz - zz * jnp.float32(geom.bsz), BIG, jnp.float32),
+        scatter(vx_v, 0.0, jnp.float32),
+        scatter(vy_v, 0.0, jnp.float32),
+        scatter(vz_v, 0.0, jnp.float32),
         scatter(order.astype(jnp.int32), -1, jnp.int32),
     )
     overflow = jnp.maximum(max_count - geom.capacity, 0).astype(jnp.int32)
@@ -357,10 +365,15 @@ def slab3_from_particles_spill(pos, vel, geom: Geometry3S, depth: float,
     n = pos.shape[0]
     nbins = geom.ys_pad * geom.xs_pad * geom.zs_pad
     ones = jnp.ones((n,), jnp.int32)
-    counts = (chunked_scatter(jnp.zeros((nbins,), jnp.int32), bid, ones, "add")
-              if rank_mode == "claim"
-              else jnp.zeros((nbins,), jnp.int32).at[bid].add(1))
-    need = counts[bid] - cap  # >0 exactly for particles in overfull bins
+    if rank_mode == "claim":
+        from ppsim_tpu.ops.binning import chunked_gather
+        counts = chunked_scatter(
+            jnp.zeros((nbins,), jnp.int32), bid, ones, "add")
+        gath = chunked_gather
+    else:
+        counts = jnp.zeros((nbins,), jnp.int32).at[bid].add(1)
+        gath = lambda t, i: t[i]
+    need = gath(counts, bid) - cap  # >0 exactly in overfull bins
     depth_f = jnp.float32(depth)
 
     # Nearest eligible face per particle: in-grid neighbor with a free
@@ -380,7 +393,7 @@ def slab3_from_particles_spill(pos, vel, geom: Geometry3S, depth: float,
             nb = b_ax + sgn
             ok = (nb >= 0) & (nb < dim_ax)
             nbid = jnp.clip(bid + sgn * stride, 0, nbins - 1)
-            ok &= counts[nbid] < cap
+            ok &= gath(counts, nbid) < cap
             cand = ok & (dist <= depth_f) & (dist < best_dist)
             best_delta = jnp.where(cand, sgn * stride, best_delta)
             best_dist = jnp.where(cand, dist, best_dist)

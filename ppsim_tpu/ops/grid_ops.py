@@ -246,8 +246,16 @@ def slab_from_particles(pos, vel, geom: SlabGeometry, rank_mode: str = "sort"):
 
     rr = (home_id // geom.cols_pad).astype(jnp.float32)
     cc = (home_id % geom.cols_pad).astype(jnp.float32)
-    xl_v = pos[order, 0] - rr * bs
-    yl_v = pos[order, 1] - cc * bs
+    if rank_mode == "claim":
+        # order is the identity here: index directly (a large arange
+        # gather is the same backend-expansion exposure as a scatter).
+        xl_v = pos[:, 0] - rr * bs
+        yl_v = pos[:, 1] - cc * bs
+        vx_v, vy_v, pid_v = vel[:, 0], vel[:, 1], order
+    else:
+        xl_v = pos[order, 0] - rr * bs
+        yl_v = pos[order, 1] - cc * bs
+        vx_v, vy_v, pid_v = vel[order, 0], vel[order, 1], order
 
     def scatter(vals, fill, dtype):
         out = jnp.full((nslots,), fill, dtype)
@@ -260,9 +268,9 @@ def slab_from_particles(pos, vel, geom: SlabGeometry, rank_mode: str = "sort"):
     state = SlabState(
         scatter(xl_v, BIG, jnp.float32),
         scatter(yl_v, BIG, jnp.float32),
-        scatter(vel[order, 0], 0.0, jnp.float32),
-        scatter(vel[order, 1], 0.0, jnp.float32),
-        scatter(order.astype(jnp.int32), -1, jnp.int32),
+        scatter(vx_v, 0.0, jnp.float32),
+        scatter(vy_v, 0.0, jnp.float32),
+        scatter(pid_v.astype(jnp.int32), -1, jnp.int32),
     )
     overflow = jnp.maximum(max_count - geom.capacity, 0).astype(jnp.int32)
     return state, overflow
